@@ -1,0 +1,217 @@
+"""Incremental NDT voxel map: per-voxel Gaussian statistics on the shared
+voxel-hash directory.
+
+TPU-native re-design of the reference's IncrementalNDT voxel store
+(include/registration/incremental_ndt.h:68-227): instead of an
+unordered_map + LRU list holding raw point vectors, each slot keeps running
+moment accumulators (n, sum, sum of outer products). A batch insert computes
+per-voxel batch moments with one sort + segment-sum and scatter-merges them —
+mathematically the pooled version of the reference's UpdateMeanAndCov
+(incremental_ndt.h:112-127).
+
+Deviations from the reference (documented, behavior-equivalent):
+  * covariance normalization is M2/(n-1) throughout (the reference mixes
+    /(n-1) at first estimate and a pooled /(m+n) on merge);
+  * eigenvalue flooring (incremental_ndt.h:165-177: lambda_{1,2} >=
+    1e-3*lambda_0) is applied as Tikhonov regularization
+    inv(sigma + 1e-3*lambda_max*I), which enforces the same ~1e3 condition
+    cap without a batched eigenvector decomposition;
+  * LRU capacity eviction becomes age-based slot reclamation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.lin3 import inv3 as _inv3
+from ..ops.lin3 import sym3_eigvalsh
+from ..ops.voxel import group_by_voxel, spatial_hash, voxel_coords
+
+
+class NdtMap(NamedTuple):
+    coords: jax.Array  # [C, 3] int32
+    occupied: jax.Array  # [C] bool
+    count: jax.Array  # [C] f32 total points accumulated
+    mean: jax.Array  # [C, 3]
+    m2: jax.Array  # [C, 3, 3] sum of centered outer products
+    info: jax.Array  # [C, 3, 3] cached inverse covariance
+    estimated: jax.Array  # [C] bool (enough points for a Gaussian)
+    age: jax.Array  # [C] int32
+    epoch: jax.Array  # [] int32
+
+    @property
+    def capacity(self) -> int:
+        return self.coords.shape[0]
+
+
+def create(capacity: int, dtype=jnp.float32) -> NdtMap:
+    assert capacity & (capacity - 1) == 0
+    return NdtMap(
+        coords=jnp.zeros((capacity, 3), jnp.int32),
+        occupied=jnp.zeros(capacity, bool),
+        count=jnp.zeros(capacity, dtype),
+        mean=jnp.zeros((capacity, 3), dtype),
+        m2=jnp.zeros((capacity, 3, 3), dtype),
+        info=jnp.zeros((capacity, 3, 3), dtype),
+        estimated=jnp.zeros(capacity, bool),
+        age=jnp.zeros(capacity, jnp.int32),
+        epoch=jnp.zeros((), jnp.int32),
+    )
+
+
+def _sym3_eig_max(a: jax.Array) -> jax.Array:
+    """Largest eigenvalue of symmetric [..., 3, 3]."""
+    return sym3_eigvalsh(a)[..., 2]
+
+
+def _regularized_info(sigma: jax.Array, n: jax.Array, min_points: float) -> tuple[jax.Array, jax.Array]:
+    """Cached inverse covariance with the reference's conditioning rules.
+
+    n <= 1 point: info = 1e2 * I (incremental_ndt.h:136-139).
+    else: inv(sigma + max(1e-3 * lambda_max, 1e-6) * I).
+    Returns (info, estimated_flag) where estimated requires n > min_points
+    (or any n when used in first-scan/frozen-map mode — handled by caller).
+    """
+    lam_max = _sym3_eig_max(sigma)
+    eps = jnp.maximum(1e-3 * lam_max, 1e-6)
+    info = _inv3(sigma + eps[..., None, None] * jnp.eye(3, dtype=sigma.dtype))
+    single = (n <= 1.0)[..., None, None]
+    info = jnp.where(single, 1.0e2 * jnp.eye(3, dtype=sigma.dtype), info)
+    estimated = n > min_points
+    return info, estimated
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_probes", "max_age", "min_points", "max_points", "estimate_all")
+)
+def insert(
+    m: NdtMap,
+    points: jax.Array,
+    mask: jax.Array,
+    inv_voxel_size,
+    num_probes: int = 8,
+    max_age: int = 0,
+    min_points: int = 5,
+    max_points: int = 50,
+    estimate_all: bool = False,
+) -> NdtMap:
+    """Merge a padded point batch into the per-voxel Gaussian statistics.
+
+    `estimate_all=True` is the reference's first-scan / localization-frozen-map
+    behavior (flag_first_scan_, incremental_ndt.h:131-143): every touched voxel
+    becomes estimated regardless of count (single-point voxels get info=1e2*I).
+    `max_points` stops updating voxels that already saturated
+    (incremental_ndt.h:146-148).
+    """
+    epoch = m.epoch + 1
+    cap = m.capacity
+    n = points.shape[0]
+    dtype = points.dtype
+
+    g = group_by_voxel(points, mask, inv_voxel_size)
+
+    # batch moments per group (segment reductions over the sorted order)
+    seg = jnp.where(g.sorted_mask, g.group_id, n)
+    w = g.sorted_mask.astype(dtype)
+    cnt = jax.ops.segment_sum(w, seg, num_segments=n + 1)[:n]
+    s1 = jax.ops.segment_sum(g.sorted_pts * w[:, None], seg, num_segments=n + 1)[:n]
+    outer = g.sorted_pts[:, :, None] * g.sorted_pts[:, None, :] * w[:, None, None]
+    s2 = jax.ops.segment_sum(outer, seg, num_segments=n + 1)[:n]
+
+    rep_valid = (jnp.arange(n) < g.num_groups) & (cnt > 0)
+    is_rep = (g.rank == 0) & g.sorted_mask
+    rep_idx = jnp.nonzero(is_rep, size=n, fill_value=n - 1)[0]
+    rep_coords = g.group_coords[rep_idx]
+
+    # --- slot lookup / claim (same scheme as voxel_hash.insert) ---
+    base = spatial_hash(rep_coords, cap)
+    offs = jnp.arange(num_probes, dtype=jnp.int32)
+    slots = (base[:, None] + offs) & (cap - 1)
+    slot_coords = m.coords[slots]
+    match = jnp.all(slot_coords == rep_coords[:, None, :], axis=-1) & m.occupied[slots]
+    empty = ~m.occupied[slots]
+    if max_age > 0:
+        empty = empty | (m.occupied[slots] & ((epoch - m.age[slots]) > max_age))
+
+    has_match = jnp.any(match, axis=-1)
+    match_slot = jnp.take_along_axis(slots, jnp.argmax(match, axis=-1)[:, None], axis=-1)[:, 0]
+    need = rep_valid & ~has_match
+    assigned = jnp.where(has_match, match_slot, -1)
+    group_ids = jnp.arange(n, dtype=jnp.int32)
+    for p in range(num_probes):
+        cand = slots[:, p]
+        cand_ok = need & empty[:, p]
+        tgt = jnp.where(cand_ok, cand, cap)
+        claim = jnp.full(cap + 1, n, jnp.int32).at[tgt].min(group_ids)
+        won = cand_ok & (claim[cand] == group_ids)
+        assigned = jnp.where(won, cand, assigned)
+        need = need & ~won
+        taken = jnp.zeros(cap + 1, bool).at[jnp.where(won, cand, cap)].set(True)
+        empty = empty & ~taken[slots]
+
+    fresh = (assigned >= 0) & ~has_match & rep_valid
+    upd = (assigned >= 0) & rep_valid
+    slot_safe = jnp.maximum(assigned, 0)
+
+    # merge moments: pooled accumulators (old zeroed when fresh or saturated)
+    old_n = jnp.where(fresh, 0.0, m.count[slot_safe])
+    old_mean = jnp.where(fresh[:, None], 0.0, m.mean[slot_safe])
+    old_m2 = jnp.where(fresh[:, None, None], 0.0, m.m2[slot_safe])
+
+    saturated = (old_n > max_points) & m.estimated[slot_safe] & ~fresh
+    do_merge = upd & ~saturated
+
+    tot = old_n + cnt
+    safe_tot = jnp.maximum(tot, 1.0)
+    new_mean = (old_n[:, None] * old_mean + s1) / safe_tot[:, None]
+    # M2 update: combine raw second moments, recenter at the new mean
+    old_raw2 = old_m2 + old_n[:, None, None] * (old_mean[:, :, None] * old_mean[:, None, :])
+    new_raw2 = old_raw2 + s2
+    new_m2 = new_raw2 - tot[:, None, None] * (new_mean[:, :, None] * new_mean[:, None, :])
+
+    sigma = new_m2 / jnp.maximum(tot - 1.0, 1.0)[:, None, None]
+    info, est_cnt = _regularized_info(sigma, tot, float(min_points))
+    estimated = est_cnt | (jnp.asarray(estimate_all) & (tot > 0))
+
+    tgt = jnp.where(do_merge, assigned, cap)
+    coords_new = m.coords.at[jnp.where(upd, assigned, cap)].set(rep_coords, mode="drop")
+    occupied_new = m.occupied.at[jnp.where(upd, assigned, cap)].set(True, mode="drop")
+    age_new = m.age.at[jnp.where(upd, assigned, cap)].set(epoch, mode="drop")
+    count_new = m.count.at[tgt].set(tot, mode="drop")
+    mean_new = m.mean.at[tgt].set(new_mean, mode="drop")
+    m2_new = m.m2.at[tgt].set(new_m2, mode="drop")
+    info_new = m.info.at[tgt].set(info, mode="drop")
+    est_new = m.estimated.at[tgt].set(estimated, mode="drop")
+
+    return NdtMap(coords_new, occupied_new, count_new, mean_new, m2_new, info_new, est_new, age_new, epoch)
+
+
+# 7-voxel stencil of the reference NDT (incremental_ndt.h:130-137)
+NDT_STENCIL = jnp.asarray(
+    [(0, 0, 0), (-1, 0, 0), (1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, -1), (0, 0, 1)],
+    jnp.int32,
+)
+
+
+@functools.partial(jax.jit, static_argnames=("num_probes",))
+def query_stencil(m: NdtMap, queries: jax.Array, inv_voxel_size, num_probes: int = 8):
+    """Gather the 7-neighborhood Gaussians for each query point.
+
+    Returns (mean [N,7,3], info [N,7,3,3], valid [N,7]).
+    """
+    qc = voxel_coords(queries, inv_voxel_size)
+    cand = qc[:, None, :] + NDT_STENCIL[None, :, :]  # [N, 7, 3]
+    base = spatial_hash(cand, m.capacity)
+    offs = jnp.arange(num_probes, dtype=jnp.int32)
+    slots = (base[..., None] + offs) & (m.capacity - 1)  # [N, 7, P]
+    match = jnp.all(m.coords[slots] == cand[..., None, :], axis=-1) & m.occupied[slots]
+    found = jnp.any(match, axis=-1)
+    first = jnp.argmax(match, axis=-1)
+    slot = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]
+    slot_safe = jnp.maximum(jnp.where(found, slot, 0), 0)
+    valid = found & m.estimated[slot_safe]
+    return m.mean[slot_safe], m.info[slot_safe], valid

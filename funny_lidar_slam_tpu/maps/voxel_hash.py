@@ -1,0 +1,287 @@
+"""Device-resident voxel-hash point map — the single NN structure of the
+framework.
+
+Replaces all three of the reference's neighbor-search structures with one
+TPU-friendly design:
+
+  * pcl::KdTreeFLANN rebuilt per map insertion (icp_optimized.h:165-189,
+    loam_*_kdtree.h) -> `build` (full scatter rebuild, cheap on TPU),
+  * the iVox LRU voxel hash (src/ivox_map/ivox_map.cpp:122-143, stencils at
+    ivox_map.cpp:43-66) -> `insert` (incremental claim-based scatter) with
+    `query_knn` stencil gathers,
+  * the NDT voxel hash lives in `ndt_map.py` on the same hashing scheme.
+
+Layout: open-addressing hash table of `capacity` slots (power of two), each
+slot owning a fixed `bucket_size` point bucket. Linear probing with
+`num_probes` steps. LRU eviction becomes age-based eviction: each slot stores
+the epoch of its last touch; `insert` may reclaim slots whose age exceeds a
+horizon (the TPU-friendly equivalent of the reference's splice-to-front LRU
+lists, ivox_map.cpp:122-143 / incremental_ndt.h:192-214).
+
+Everything is jit-safe: static shapes, masked scatters/gathers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.voxel import group_by_voxel, spatial_hash, voxel_coords
+
+# Stencil offsets mirroring the reference's NearbyType
+# (src/ivox_map/ivox_map.cpp:43-66): CENTER, NEARBY6, NEARBY18, NEARBY26.
+_CENTER = [(0, 0, 0)]
+_N6 = [(-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0), (0, 0, -1), (0, 0, 1)]
+_N18 = _N6 + [
+    (1, 1, 0), (-1, 1, 0), (1, -1, 0), (-1, -1, 0),
+    (1, 0, 1), (-1, 0, 1), (1, 0, -1), (-1, 0, -1),
+    (0, 1, 1), (0, -1, 1), (0, 1, -1), (0, -1, -1),
+]
+_N26 = _N18 + [
+    (1, 1, 1), (-1, 1, 1), (1, -1, 1), (1, 1, -1),
+    (-1, -1, 1), (-1, 1, -1), (1, -1, -1), (-1, -1, -1),
+]
+STENCILS = {
+    "center": _CENTER,
+    "nearby6": _CENTER + _N6,
+    "nearby18": _CENTER + _N18,
+    "nearby26": _CENTER + _N26,
+}
+
+
+class VoxelHashMap(NamedTuple):
+    """Functional voxel-hash map state (all arrays device-resident)."""
+
+    coords: jax.Array  # [C, 3] int32 voxel coords of each slot
+    occupied: jax.Array  # [C] bool
+    count: jax.Array  # [C] int32 valid points in bucket (<= S)
+    points: jax.Array  # [C, S, 3] f32 bucket points (world frame)
+    age: jax.Array  # [C] int32 epoch of last touch
+    epoch: jax.Array  # [] int32 current epoch (bumped per insert)
+
+    # static config (kept as aux fields via property helpers)
+    @property
+    def capacity(self) -> int:
+        return self.coords.shape[0]
+
+    @property
+    def bucket_size(self) -> int:
+        return self.points.shape[1]
+
+
+def create(capacity: int, bucket_size: int, dtype=jnp.float32) -> VoxelHashMap:
+    assert capacity & (capacity - 1) == 0, "capacity must be a power of 2"
+    return VoxelHashMap(
+        coords=jnp.zeros((capacity, 3), jnp.int32),
+        occupied=jnp.zeros(capacity, bool),
+        count=jnp.zeros(capacity, jnp.int32),
+        points=jnp.zeros((capacity, bucket_size, 3), dtype),
+        age=jnp.zeros(capacity, jnp.int32),
+        epoch=jnp.zeros((), jnp.int32),
+    )
+
+
+def _probe_slots(m: VoxelHashMap, coords: jax.Array, num_probes: int):
+    """For voxel coords [..., 3], return ([..., P] candidate slots,
+    [..., P] key-match mask, [..., P] empty mask) under linear probing."""
+    base = spatial_hash(coords, m.capacity)
+    offs = jnp.arange(num_probes, dtype=jnp.int32)
+    slots = (base[..., None] + offs) & (m.capacity - 1)
+    slot_coords = m.coords[slots]  # [..., P, 3]
+    match = jnp.all(slot_coords == coords[..., None, :], axis=-1) & m.occupied[slots]
+    empty = ~m.occupied[slots]
+    return slots, match, empty
+
+
+def find_slots(m: VoxelHashMap, coords: jax.Array, num_probes: int = 8):
+    """Slot of each voxel coord (or -1). [..., 3] -> [...]."""
+    slots, match, _ = _probe_slots(m, coords, num_probes)
+    found = jnp.any(match, axis=-1)
+    first = jnp.argmax(match, axis=-1)
+    return jnp.where(found, jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0], -1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_probes", "max_age", "center_policy"))
+def insert(
+    m: VoxelHashMap,
+    points: jax.Array,
+    mask: jax.Array,
+    inv_voxel_size,
+    num_probes: int = 8,
+    max_age: int = 0,
+    center_policy: bool = False,
+) -> VoxelHashMap:
+    """Scatter-insert a padded point batch into the map.
+
+    Reformulates the reference's sequential hash-map insertion
+    (loam_point_to_plane_ivox.h:90-128 selective insertion,
+    ivox_map.cpp:107-143) as: sort points by voxel -> one representative per
+    voxel claims a slot (existing match, else empty/expired slot via
+    scatter-argmin rounds) -> points scatter into bucket positions
+    `count + rank`, dropping overflow beyond the bucket size.
+
+    `max_age > 0` enables age-based eviction: slots untouched for more than
+    `max_age` epochs are treated as reclaimable (TPU equivalent of LRU
+    capacity eviction).
+
+    `center_policy=True` applies the iVox selective-insert rule: a point is
+    dropped when its voxel already holds a point closer to the voxel center
+    (loam_point_to_plane_ivox.h:101-124 semantics, approximated per batch by
+    inserting the batch's closest-to-center point first).
+    """
+    epoch = m.epoch + 1
+    g = group_by_voxel(points, mask, inv_voxel_size)
+    n = points.shape[0]
+    cap = m.capacity
+
+    # representative (first point) of each group
+    is_rep = (g.rank == 0) & g.sorted_mask
+    rep_idx = jnp.nonzero(is_rep, size=n, fill_value=n - 1)[0]
+    rep_coords = g.group_coords[rep_idx]  # [n, 3] (garbage beyond num_groups)
+    rep_valid = jnp.arange(n) < g.num_groups
+
+    slots, match, empty = _probe_slots(m, rep_coords, num_probes)
+    if max_age > 0:
+        expired = m.occupied[slots] & ((epoch - m.age[slots]) > max_age)
+        empty = empty | expired
+
+    has_match = jnp.any(match, axis=-1)
+    match_slot = jnp.take_along_axis(
+        slots, jnp.argmax(match, axis=-1)[..., None], axis=-1
+    )[..., 0]
+
+    # claim rounds for groups without an existing slot: winner per empty slot
+    # is decided by scatter-min of the group index.
+    need = rep_valid & ~has_match
+    assigned = jnp.where(has_match, match_slot, -1)
+    group_ids = jnp.arange(n, dtype=jnp.int32)
+
+    for p in range(num_probes):
+        cand = slots[:, p]
+        cand_ok = need & empty[:, p]
+        tgt = jnp.where(cand_ok, cand, cap)
+        claim = jnp.full(cap + 1, n, jnp.int32).at[tgt].min(group_ids)
+        won = cand_ok & (claim[cand] == group_ids)
+        assigned = jnp.where(won, cand, assigned)
+        need = need & ~won
+        # a claimed slot is no longer empty for later rounds
+        taken = jnp.zeros(cap + 1, bool).at[jnp.where(won, cand, cap)].set(True)
+        empty = empty & ~taken[slots]
+
+    # update slot metadata for winners (fresh slots reset their bucket)
+    fresh = (assigned >= 0) & ~has_match & rep_valid
+    upd = (assigned >= 0) & rep_valid
+    tgt = jnp.where(upd, assigned, cap)
+    coords_new = m.coords.at[tgt].set(rep_coords, mode="drop")
+    occupied_new = m.occupied.at[tgt].set(True, mode="drop")
+    age_new = m.age.at[tgt].set(epoch, mode="drop")
+    count_base = m.count.at[jnp.where(fresh, assigned, cap)].set(0, mode="drop")
+    points_base = m.points
+
+    # scatter points: position = count_base[slot] + rank
+    pt_slot = assigned[g.group_id]  # [n]
+    pt_ok = g.sorted_mask & (pt_slot >= 0)
+    base_cnt = count_base[jnp.maximum(pt_slot, 0)]
+    pos = base_cnt + g.rank
+    s = m.bucket_size
+    pt_ok = pt_ok & (pos < s)
+
+    if center_policy:
+        # iVox rule: only insert when the voxel is new (fresh) or the new
+        # point is closer to the voxel center than the bucket's current best.
+        centers = (g.group_coords.astype(points.dtype) + 0.5) / inv_voxel_size
+        d_new = jnp.linalg.norm(g.sorted_pts - centers, axis=-1)
+        slot_safe = jnp.maximum(pt_slot, 0)
+        bucket = m.points[slot_safe]  # [n, S, 3]
+        bcnt = count_base[slot_safe]
+        bvalid = jnp.arange(s)[None, :] < bcnt[:, None]
+        d_old = jnp.linalg.norm(bucket - centers[:, None, :], axis=-1)
+        d_old = jnp.where(bvalid, d_old, jnp.inf)
+        closer_exists = jnp.min(d_old, axis=-1) <= d_new
+        fresh_pt = fresh[g.group_id]
+        pt_ok = pt_ok & (fresh_pt | ~closer_exists)
+        # recompute bucket positions among the surviving points of each group:
+        # exclusive prefix sum of keep, re-based at each group start
+        keep = pt_ok.astype(jnp.int32)
+        ex = jnp.cumsum(keep) - keep
+        idxs = jnp.arange(n, dtype=jnp.int32)
+        seg_start = idxs - g.rank
+        surv_rank = ex - ex[seg_start]
+        pos = base_cnt + surv_rank
+        pt_ok = pt_ok & (pos < s)
+
+    flat_idx = jnp.where(pt_ok, jnp.maximum(pt_slot, 0) * s + pos, cap * s)
+    points_flat = points_base.reshape(cap * s, 3)
+    points_new = points_flat.at[flat_idx].set(
+        jnp.where(pt_ok[:, None], g.sorted_pts, 0.0), mode="drop"
+    ).reshape(cap, s, 3)
+
+    # new counts: old + inserted per slot
+    ins = jax.ops.segment_sum(
+        pt_ok.astype(jnp.int32), jnp.where(pt_ok, pt_slot, cap), num_segments=cap + 1
+    )[:cap]
+    count_new = jnp.minimum(count_base + ins, s)
+
+    return VoxelHashMap(coords_new, occupied_new, count_new, points_new, age_new, epoch)
+
+
+def build(
+    capacity: int,
+    bucket_size: int,
+    points: jax.Array,
+    mask: jax.Array,
+    inv_voxel_size,
+    num_probes: int = 8,
+) -> VoxelHashMap:
+    """Fresh map from a padded cloud (the kdtree-rebuild equivalent)."""
+    m = create(capacity, bucket_size, points.dtype)
+    return insert(m, points, mask, inv_voxel_size, num_probes=num_probes)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "stencil", "num_probes"))
+def query_knn(
+    m: VoxelHashMap,
+    queries: jax.Array,
+    inv_voxel_size,
+    k: int = 5,
+    stencil: str = "nearby18",
+    num_probes: int = 8,
+):
+    """Batched k-nearest-neighbors via stencil gather + top-k.
+
+    Equivalent of IVoxMap::GetClosestPoint (src/ivox_map/ivox_map.cpp:6-37):
+    gather all bucket points of the stencil voxels around each query and take
+    the k smallest distances.
+
+    Returns (neighbors [N,k,3], sq_dists [N,k], valid [N,k]).
+    """
+    offsets = jnp.asarray(STENCILS[stencil], jnp.int32)  # [V, 3]
+    qc = voxel_coords(queries, inv_voxel_size)  # [N, 3]
+    cand = qc[:, None, :] + offsets[None, :, :]  # [N, V, 3]
+    slot = find_slots(m, cand, num_probes)  # [N, V]
+    slot_safe = jnp.maximum(slot, 0)
+
+    pts = m.points[slot_safe]  # [N, V, S, 3]
+    cnt = jnp.where(slot >= 0, m.count[slot_safe], 0)  # [N, V]
+    s = m.bucket_size
+    valid = jnp.arange(s)[None, None, :] < cnt[:, :, None]  # [N, V, S]
+
+    diff = pts - queries[:, None, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)  # [N, V, S]
+    d2 = jnp.where(valid, d2, jnp.inf)
+
+    nv = offsets.shape[0] * s
+    d2f = d2.reshape(-1, nv)
+    neg, idx = jax.lax.top_k(-d2f, k)  # smallest distances
+    knn_d2 = -neg
+    flat_pts = pts.reshape(-1, nv, 3)
+    nbrs = jnp.take_along_axis(flat_pts, idx[..., None], axis=1)
+    ok = jnp.isfinite(knn_d2)
+    return nbrs, knn_d2, ok
+
+
+def num_occupied(m: VoxelHashMap) -> jax.Array:
+    return jnp.sum(m.occupied.astype(jnp.int32))

@@ -1,0 +1,543 @@
+"""The five registration frontends, as functional (state, scan, pose) -> state
+matchers over device-resident maps.
+
+Runtime-selectable like the reference (src/slam/frontend.cpp:30-88):
+
+  mode string          reference implementation          this module
+  -----------          ------------------------          -----------
+  IcpOptimized         icp_optimized.h                   IcpMatcher
+  PointToPlane_KdTree  loam_point_to_plane_kdtree.h      PointToPlaneMatcher (window)
+  PointToPlane_IVOX    loam_point_to_plane_ivox.h        PointToPlaneMatcher (ivox)
+  LoamFull_KdTree      loam_full_kdtree.h                LoamFullMatcher
+  IncrementalNDT       incremental_ndt.h                 NdtMatcher
+
+Map policies:
+  * window:  ring buffer of the last W inserted clouds, merged + voxel
+    filtered + hash-map rebuild on insertion (the kdtree-rebuild semantics of
+    icp_optimized.h:165-189 / loam_point_to_plane_kdtree.h:57-80).
+  * ivox:    incremental insertion with the closer-to-center skip rule and
+    age eviction (loam_point_to_plane_ivox.h:90-128).
+  * ndt:     per-voxel Gaussian merge (incremental_ndt.h:182-227).
+
+All matchers share `match()` -> GNResult + the keyframe-style insertion gate
+`IsNeedAddCloud` (dist/rot vs the last inserted pose, icp_optimized.h:225-243).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.cloud import Cloud, transform_cloud
+from ..core.lie import rotation_to_rpy
+from ..maps import ndt_map, voxel_hash
+from ..ops.voxel import voxel_downsample
+from .gn import GNConfig, GNResult, UPDATE_ICP, UPDATE_LOAM, UPDATE_NDT, run_gn
+from .residuals import (
+    fitness_score,
+    merge_hg,
+    ndt_hg,
+    point_to_line_hg,
+    point_to_plane_hg,
+    point_to_point_hg,
+)
+
+
+def need_add_cloud(t_mat, last_t, dist_thresh, rot_thresh):
+    """Map-insertion gate (icp_optimized.h:225-243): translation delta > d or
+    any RPY of the delta rotation > r."""
+    d = jnp.linalg.norm(t_mat[:3, 3] - last_t[:3, 3])
+    r_delta = last_t[:3, :3].T @ t_mat[:3, :3]
+    rpy = jnp.abs(rotation_to_rpy(r_delta))
+    return (d > dist_thresh) | jnp.any(rpy > rot_thresh)
+
+
+# ---------------------------------------------------------------------------
+# sliding-window map policy
+# ---------------------------------------------------------------------------
+
+
+class WindowMapState(NamedTuple):
+    m: voxel_hash.VoxelHashMap
+    window_pts: jax.Array  # [W, cap, 3] world-frame inserted clouds
+    window_mask: jax.Array  # [W, cap]
+    head: jax.Array  # [] int32 ring position
+    filled: jax.Array  # [] int32 number of valid ring entries
+    last_added: jax.Array  # [4, 4]
+
+
+def window_create(window_size, cloud_cap, map_capacity, bucket, dtype=jnp.float32):
+    return WindowMapState(
+        m=voxel_hash.create(map_capacity, bucket, dtype),
+        window_pts=jnp.zeros((window_size, cloud_cap, 3), dtype),
+        window_mask=jnp.zeros((window_size, cloud_cap), bool),
+        head=jnp.zeros((), jnp.int32),
+        filled=jnp.zeros((), jnp.int32),
+        last_added=jnp.eye(4, dtype=dtype),
+    )
+
+
+def window_add(
+    s: WindowMapState,
+    cloud_world: Cloud,
+    t_mat,
+    map_filter_size,
+    nn_inv_voxel,
+    merged_capacity,
+):
+    """Push a world-frame cloud and rebuild the hash map from the merged,
+    voxel-filtered window (the kdtree-rebuild equivalent)."""
+    w = s.window_pts.shape[0]
+    window_pts = s.window_pts.at[s.head].set(cloud_world.points)
+    window_mask = s.window_mask.at[s.head].set(cloud_world.mask)
+    merged_pts = window_pts.reshape(-1, 3)
+    merged_mask = window_mask.reshape(-1)
+    ds = voxel_downsample(merged_pts, merged_mask, map_filter_size, merged_capacity)
+    m = voxel_hash.build(
+        s.m.capacity, s.m.bucket_size, ds.points, ds.mask, nn_inv_voxel
+    )
+    return WindowMapState(
+        m=m,
+        window_pts=window_pts,
+        window_mask=window_mask,
+        head=(s.head + 1) % w,
+        filled=jnp.minimum(s.filled + 1, w),
+        last_added=t_mat,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Optimized ICP (reference: icp_optimized.h)
+# ---------------------------------------------------------------------------
+
+
+class IcpConfig(NamedTuple):
+    max_iterations: int = 30
+    local_map_size: int = 25
+    map_filter_size: float = 0.5
+    source_filter_size: float = 0.4
+    max_correspond_distance: float = 1.0
+    position_converge_thresh: float = 0.01
+    rotation_converge_thresh: float = 0.05
+    rot_thresh_add_cloud: float = 0.2
+    dist_thresh_add_cloud: float = 1.0
+    # capacities (static)
+    source_capacity: int = 16384
+    cloud_capacity: int = 16384
+    merged_capacity: int = 131072
+    map_capacity: int = 65536
+    bucket_size: int = 8
+    nn_voxel_size: float = 1.0
+    stencil: str = "nearby26"
+    is_localization_mode: bool = False
+
+
+class IcpMatcher:
+    """Point-to-point ICP over a sliding-window voxel-hash map."""
+
+    def __init__(self, cfg: IcpConfig, dtype=jnp.float32):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.gn_cfg = GNConfig(
+            max_iters=cfg.max_iterations,
+            rotation_eps=cfg.rotation_converge_thresh,
+            position_eps=cfg.position_converge_thresh,
+            update=UPDATE_ICP,
+            use_stall_check=False,
+        )
+
+    def create_state(self) -> WindowMapState:
+        c = self.cfg
+        return window_create(c.local_map_size, c.cloud_capacity, c.map_capacity, c.bucket_size, self.dtype)
+
+    def _source(self, cloud: Cloud) -> Cloud:
+        c = self.cfg
+        return voxel_downsample(cloud.points, cloud.mask, c.source_filter_size, c.source_capacity)
+
+    def match(self, s: WindowMapState, cloud: Cloud, t_init) -> tuple[WindowMapState, GNResult]:
+        t_init = jnp.asarray(t_init, self.dtype)
+        c = self.cfg
+        src = self._source(cloud)
+        inv = 1.0 / c.nn_voxel_size
+
+        def hg_fn(t_mat):
+            return point_to_point_hg(
+                t_mat, src.points, src.mask, s.m, inv,
+                c.max_correspond_distance**2, c.stencil,
+            )
+
+        res = run_gn(hg_fn, t_init, self.gn_cfg)
+
+        if c.is_localization_mode:
+            return s, res
+
+        do_add = res.converged & need_add_cloud(
+            res.t_mat, s.last_added, c.dist_thresh_add_cloud, c.rot_thresh_add_cloud
+        )
+
+        def add(s):
+            world = transform_cloud(res.t_mat, src)
+            return window_add(s, world, res.t_mat, c.map_filter_size, inv, c.merged_capacity)
+
+        s = jax.lax.cond(do_add, add, lambda s: s, s)
+        return s, res
+
+    def add_first(self, s: WindowMapState, cloud: Cloud, t_mat) -> WindowMapState:
+        t_mat = jnp.asarray(t_mat, self.dtype)
+        """Seed the map with the first (transformed) cloud
+        (FrontEnd::InitOdometer, frontend.cpp:137-141)."""
+        c = self.cfg
+        src = self._source(cloud)
+        world = transform_cloud(t_mat, src)
+        return window_add(s, world, t_mat, c.map_filter_size, 1.0 / c.nn_voxel_size, c.merged_capacity)
+
+    def fitness(self, s: WindowMapState, cloud: Cloud, t_mat, max_range=1.0):
+        t_mat = jnp.asarray(t_mat, self.dtype)
+        c = self.cfg
+        src = self._source(cloud)
+        return fitness_score(
+            t_mat, src.points, src.mask, s.m, 1.0 / c.nn_voxel_size, max_range**2, c.stencil
+        )
+
+
+# ---------------------------------------------------------------------------
+# Point-to-plane (KdTree-window and iVox variants)
+# ---------------------------------------------------------------------------
+
+
+class PointToPlaneConfig(NamedTuple):
+    mode: str = "ivox"  # "window" (PointToPlane_KdTree) | "ivox" (PointToPlane_IVOX)
+    max_iterations: int = 30
+    point_to_planar_thresh: float = 0.1
+    position_converge_thresh: float = 0.01
+    rotation_converge_thresh: float = 0.05
+    rot_thresh_add_cloud: float = 0.2
+    dist_thresh_add_cloud: float = 1.0
+    local_map_size: int = 30  # window mode only
+    map_filter_size: float = 0.5  # window mode only
+    min_valid_planar: int = 50
+    # ivox params (loam_point_to_plane_ivox.h:53-58)
+    ivox_voxel_size: float = 0.5
+    ivox_max_age: int = 0  # 0 = no eviction
+    stencil: str = "nearby18"
+    max_search_dist: float = 5.0
+    source_capacity: int = 16384
+    cloud_capacity: int = 16384
+    merged_capacity: int = 131072
+    map_capacity: int = 262144
+    bucket_size: int = 8
+    is_localization_mode: bool = False
+
+
+class P2PlaneWindowState(NamedTuple):
+    w: WindowMapState
+
+
+class P2PlaneIvoxState(NamedTuple):
+    m: voxel_hash.VoxelHashMap
+    last_added: jax.Array
+
+
+class PointToPlaneMatcher:
+    """LOAM point-to-plane over a planar-feature map.
+
+    window mode: LoamPointToPlaneKdtree semantics (map = merged window).
+    ivox mode:   LoamPointToPlaneIVOX semantics (incremental, center-policy
+    insertion, inserts EVERY converged scan — no keyframe gate in the
+    reference ivox matcher; the gate exists only in the kdtree variants)."""
+
+    def __init__(self, cfg: PointToPlaneConfig, dtype=jnp.float32):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.gn_cfg = GNConfig(
+            max_iters=cfg.max_iterations,
+            rotation_eps=cfg.rotation_converge_thresh,
+            position_eps=cfg.position_converge_thresh,
+            update=UPDATE_LOAM,
+            use_stall_check=True,
+        )
+        self.inv = 1.0 / cfg.ivox_voxel_size
+
+    def create_state(self):
+        c = self.cfg
+        if c.mode == "window":
+            return P2PlaneWindowState(
+                window_create(c.local_map_size, c.cloud_capacity, c.map_capacity, c.bucket_size, self.dtype)
+            )
+        return P2PlaneIvoxState(
+            m=voxel_hash.create(c.map_capacity, c.bucket_size, self.dtype),
+            last_added=jnp.eye(4, dtype=self.dtype),
+        )
+
+    def _map(self, s):
+        return s.w.m if isinstance(s, P2PlaneWindowState) else s.m
+
+    def match(self, s, planar: Cloud, t_init) -> tuple[object, GNResult]:
+        t_init = jnp.asarray(t_init, self.dtype)
+        c = self.cfg
+        m = self._map(s)
+
+        def hg_fn(t_mat):
+            return point_to_plane_hg(
+                t_mat, planar.points, planar.mask, m, self.inv,
+                c.point_to_planar_thresh, c.max_search_dist**2, c.stencil,
+            )
+
+        res = run_gn(hg_fn, t_init, self.gn_cfg)
+        # convergence requires enough valid planar matches (loam_*_kdtree.h:181)
+        ok = res.num_valid >= c.min_valid_planar
+        res = res._replace(converged=ok)
+
+        if c.is_localization_mode:
+            return s, res
+
+        if isinstance(s, P2PlaneWindowState):
+            do_add = ok & need_add_cloud(
+                res.t_mat, s.w.last_added, c.dist_thresh_add_cloud, c.rot_thresh_add_cloud
+            )
+
+            def add(ws):
+                world = transform_cloud(res.t_mat, planar)
+                return window_add(ws, world, res.t_mat, c.map_filter_size, self.inv, c.merged_capacity)
+
+            return P2PlaneWindowState(jax.lax.cond(do_add, add, lambda x: x, s.w)), res
+
+        # ivox: insert every scan with the center policy
+        def add(st):
+            world = transform_cloud(res.t_mat, planar)
+            m2 = voxel_hash.insert(
+                st.m, world.points, world.mask, self.inv,
+                max_age=c.ivox_max_age, center_policy=True,
+            )
+            return P2PlaneIvoxState(m2, res.t_mat)
+
+        s = jax.lax.cond(ok, add, lambda x: x, s)
+        return s, res
+
+    def add_first(self, s, planar: Cloud, t_mat):
+        t_mat = jnp.asarray(t_mat, self.dtype)
+        c = self.cfg
+        world = transform_cloud(t_mat, planar)
+        if isinstance(s, P2PlaneWindowState):
+            return P2PlaneWindowState(
+                window_add(s.w, world, t_mat, c.map_filter_size, self.inv, c.merged_capacity)
+            )
+        m2 = voxel_hash.insert(
+            s.m, world.points, world.mask, self.inv,
+            max_age=c.ivox_max_age, center_policy=True,
+        )
+        return P2PlaneIvoxState(m2, t_mat)
+
+    def fitness(self, s, planar: Cloud, t_mat, max_range=1.0):
+        t_mat = jnp.asarray(t_mat, self.dtype)
+        return fitness_score(
+            t_mat, planar.points, planar.mask, self._map(s), self.inv,
+            max_range**2, self.cfg.stencil,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Full LOAM: corner (line) + planar (plane) maps (loam_full_kdtree.h)
+# ---------------------------------------------------------------------------
+
+
+class LoamFullConfig(NamedTuple):
+    max_iterations: int = 30
+    point_to_planar_thresh: float = 0.1
+    point_search_thresh: float = 1.0  # 5th-NN gate (squared applied)
+    line_ratio_thresh: float = 3.0
+    position_converge_thresh: float = 0.01
+    rotation_converge_thresh: float = 0.05
+    rot_thresh_add_cloud: float = 0.2
+    dist_thresh_add_cloud: float = 1.0
+    corner_map_size: int = 30
+    planar_map_size: int = 30
+    corner_filter_size: float = 0.2
+    planar_filter_size: float = 0.4
+    min_valid_planar: int = 50
+    nn_voxel_size: float = 1.0
+    stencil: str = "nearby26"
+    corner_capacity: int = 4096
+    planar_capacity: int = 16384
+    merged_capacity: int = 131072
+    map_capacity: int = 65536
+    bucket_size: int = 8
+    is_localization_mode: bool = False
+
+
+class LoamFullState(NamedTuple):
+    corner: WindowMapState
+    planar: WindowMapState
+
+
+class LoamFullMatcher:
+    def __init__(self, cfg: LoamFullConfig, dtype=jnp.float32):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.gn_cfg = GNConfig(
+            max_iters=cfg.max_iterations,
+            rotation_eps=cfg.rotation_converge_thresh,
+            position_eps=cfg.position_converge_thresh,
+            update=UPDATE_LOAM,
+            use_stall_check=True,
+        )
+        self.inv = 1.0 / cfg.nn_voxel_size
+
+    def create_state(self) -> LoamFullState:
+        c = self.cfg
+        return LoamFullState(
+            corner=window_create(c.corner_map_size, c.corner_capacity, c.map_capacity, c.bucket_size, self.dtype),
+            planar=window_create(c.planar_map_size, c.planar_capacity, c.map_capacity, c.bucket_size, self.dtype),
+        )
+
+    def match(self, s: LoamFullState, corner: Cloud, planar: Cloud, t_init):
+        t_init = jnp.asarray(t_init, self.dtype)
+        c = self.cfg
+        thr2 = c.point_search_thresh**2
+
+        def hg_fn(t_mat):
+            hg_c = point_to_line_hg(
+                t_mat, corner.points, corner.mask, s.corner.m, self.inv,
+                c.line_ratio_thresh, thr2, c.stencil,
+            )
+            hg_p = point_to_plane_hg(
+                t_mat, planar.points, planar.mask, s.planar.m, self.inv,
+                c.point_to_planar_thresh, thr2, c.stencil,
+            )
+            return merge_hg(hg_c, hg_p)
+
+        res = run_gn(hg_fn, t_init, self.gn_cfg)
+        # note: num_valid counts corner+planar; the reference gates on planar
+        # only — we approximate with the combined count (>=50)
+        ok = res.num_valid >= c.min_valid_planar
+        res = res._replace(converged=ok)
+
+        if c.is_localization_mode:
+            return s, res
+
+        do_add = ok & need_add_cloud(
+            res.t_mat, s.planar.last_added, c.dist_thresh_add_cloud, c.rot_thresh_add_cloud
+        )
+
+        def add(st: LoamFullState):
+            cw = transform_cloud(res.t_mat, corner)
+            pw = transform_cloud(res.t_mat, planar)
+            return LoamFullState(
+                corner=window_add(st.corner, cw, res.t_mat, c.corner_filter_size, self.inv, c.merged_capacity),
+                planar=window_add(st.planar, pw, res.t_mat, c.planar_filter_size, self.inv, c.merged_capacity),
+            )
+
+        s = jax.lax.cond(do_add, add, lambda x: x, s)
+        return s, res
+
+    def add_first(self, s: LoamFullState, corner: Cloud, planar: Cloud, t_mat):
+        t_mat = jnp.asarray(t_mat, self.dtype)
+        c = self.cfg
+        cw = transform_cloud(t_mat, corner)
+        pw = transform_cloud(t_mat, planar)
+        return LoamFullState(
+            corner=window_add(s.corner, cw, t_mat, c.corner_filter_size, self.inv, c.merged_capacity),
+            planar=window_add(s.planar, pw, t_mat, c.planar_filter_size, self.inv, c.merged_capacity),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Incremental NDT (incremental_ndt.h)
+# ---------------------------------------------------------------------------
+
+
+class NdtConfig(NamedTuple):
+    voxel_size: float = 1.0
+    res_outlier_thresh: float = 20.0
+    source_filter_size: float = 1.0
+    rotation_converge_thresh: float = 0.05
+    position_converge_thresh: float = 0.01
+    min_points_in_voxel: int = 3
+    max_points_in_voxel: int = 50
+    min_effective_pts: int = 10
+    max_iterations: int = 30
+    max_age: int = 0
+    source_capacity: int = 16384
+    map_capacity: int = 262144
+    is_localization_mode: bool = False
+
+
+class NdtState(NamedTuple):
+    m: ndt_map.NdtMap
+    first_scan: jax.Array  # [] bool
+
+
+class NdtMatcher:
+    def __init__(self, cfg: NdtConfig, dtype=jnp.float32):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.gn_cfg = GNConfig(
+            max_iters=cfg.max_iterations,
+            rotation_eps=cfg.rotation_converge_thresh,
+            position_eps=cfg.position_converge_thresh,
+            update=UPDATE_NDT,
+            use_stall_check=False,
+        )
+        self.inv = 1.0 / cfg.voxel_size
+
+    def create_state(self) -> NdtState:
+        return NdtState(ndt_map.create(self.cfg.map_capacity, self.dtype), jnp.asarray(True))
+
+    def _source(self, cloud: Cloud) -> Cloud:
+        c = self.cfg
+        return voxel_downsample(cloud.points, cloud.mask, c.source_filter_size, c.source_capacity)
+
+    def _insert(self, s: NdtState, world: Cloud) -> NdtState:
+        c = self.cfg
+        # first scan (or frozen-map localization) estimates all voxels
+        # regardless of count (incremental_ndt.h:131-143, 218-226)
+        m_first = ndt_map.insert(
+            s.m, world.points, world.mask, self.inv,
+            max_age=c.max_age, min_points=c.min_points_in_voxel,
+            max_points=c.max_points_in_voxel, estimate_all=True,
+        )
+        m_later = ndt_map.insert(
+            s.m, world.points, world.mask, self.inv,
+            max_age=c.max_age, min_points=c.min_points_in_voxel,
+            max_points=c.max_points_in_voxel, estimate_all=False,
+        )
+        m2 = jax.tree.map(
+            lambda a, b: jnp.where(s.first_scan, a, b), m_first, m_later
+        )
+        # in localization mode the flag stays set so frozen-map reloads always
+        # re-estimate every voxel (incremental_ndt.h:218-226)
+        return NdtState(m2, jnp.asarray(bool(c.is_localization_mode)))
+
+    def match(self, s: NdtState, cloud: Cloud, t_init):
+        t_init = jnp.asarray(t_init, self.dtype)
+        c = self.cfg
+        src = self._source(cloud)
+
+        def hg_fn(t_mat):
+            return ndt_hg(t_mat, src.points, src.mask, s.m, self.inv, c.res_outlier_thresh)
+
+        res = run_gn(hg_fn, t_init, self.gn_cfg)
+        # reference quirk: has_converge is forced true after the loop
+        # (incremental_ndt.h:325) unless too few effective points; we keep
+        # the min-effective-pts abort and otherwise report converged.
+        enough = res.num_valid >= c.min_effective_pts
+        res = res._replace(converged=enough)
+
+        if c.is_localization_mode:
+            return s, res
+
+        def add(st):
+            world = transform_cloud(res.t_mat, src)
+            return self._insert(st, world)
+
+        s = jax.lax.cond(enough, add, lambda x: x, s)
+        return s, res
+
+    def add_first(self, s: NdtState, cloud: Cloud, t_mat):
+        t_mat = jnp.asarray(t_mat, self.dtype)
+        src = self._source(cloud)
+        world = transform_cloud(t_mat, src)
+        return self._insert(s, world)

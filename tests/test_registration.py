@@ -1,0 +1,190 @@
+"""Registration-kernel tests: each matcher must recover a known rigid
+transform on synthetic structured scenes (coverage the reference never had —
+SURVEY.md §4 'what is NOT tested')."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from funny_lidar_slam_tpu.core.cloud import Cloud
+from funny_lidar_slam_tpu.core.lie import se3_exp, se3_log, se3_inv
+from funny_lidar_slam_tpu.registration import matchers
+
+
+def room_scene(spacing=0.25, size=8.0, noise=0.0, seed=0):
+    """Three orthogonal planes (floor + 2 walls) — plane/NDT-friendly.
+
+    The room corner is shifted off the origin: the LOAM plane fit solves
+    A x = -1 (plane n.p = -1), which cannot represent planes through the
+    origin — same parameterization as the reference
+    (loam_point_to_plane_kdtree.h:231).
+    """
+    rng = np.random.default_rng(seed)
+    g = np.arange(0.1, size, spacing, dtype=np.float32)
+    xx, yy = np.meshgrid(g, g)
+    floor = np.stack([xx.ravel(), yy.ravel(), np.zeros(xx.size)], axis=1)
+    wall1 = np.stack([xx.ravel(), np.zeros(xx.size), yy.ravel()], axis=1)
+    wall2 = np.stack([np.zeros(xx.size), xx.ravel(), yy.ravel()], axis=1)
+    pts = np.concatenate([floor, wall1, wall2]).astype(np.float32)
+    if noise:
+        pts += rng.normal(0, noise, pts.shape).astype(np.float32)
+    return pts + np.asarray([3.0, 4.0, 5.0], np.float32)
+
+
+def edge_scene(spacing=0.05, size=8.0):
+    """Three orthogonal lines (room edges) — corner features."""
+    g = np.arange(0.1, size, spacing, dtype=np.float32)
+    z = np.zeros_like(g)
+    ex = np.stack([g, z, z], axis=1)
+    ey = np.stack([z, g, z], axis=1)
+    ez = np.stack([z, z, g], axis=1)
+    return np.concatenate([ex, ey, ez]).astype(np.float32)
+
+
+def as_cloud(pts, capacity):
+    n = len(pts)
+    out = np.zeros((capacity, 3), np.float32)
+    mask = np.zeros(capacity, bool)
+    out[:n] = pts[:capacity]
+    mask[: min(n, capacity)] = True
+    return Cloud(jnp.asarray(out), jnp.asarray(mask))
+
+
+T_TRUE_V = np.array([0.3, -0.2, 0.1, 0.02, 0.04, -0.03])  # [t, r]
+# smaller offset for plane/line matchers: their near-point rejection gate
+# (||p|| < 81 d^2, loam_*_kdtree.h) assumes the small per-scan initial error
+# of an IMU predict
+T_SMALL_V = np.array([0.08, -0.05, 0.04, 0.01, 0.02, -0.015])
+
+
+def make_problem(pts, capacity, v=None):
+    t_true = np.asarray(se3_exp(jnp.asarray(T_TRUE_V if v is None else v, jnp.float32)))
+    src_pts = (pts - t_true[:3, 3]) @ t_true[:3, :3]  # T_true^-1 * pts
+    return as_cloud(pts, capacity), as_cloud(src_pts, capacity), jnp.asarray(t_true, jnp.float32)
+
+
+def pose_err(t_est, t_true):
+    d = np.asarray(se3_log(se3_inv(jnp.asarray(t_est)) @ jnp.asarray(t_true)))
+    return np.linalg.norm(d[:3]), np.linalg.norm(d[3:])
+
+
+def test_icp_recovers_transform():
+    # scattered cloud with exact point identity (point-to-point ICP on
+    # resampled planar grids has grid-lock local minima by construction, so
+    # the kernel unit test uses true correspondences)
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(0, 10, (4000, 3)).astype(np.float32)
+    cfg = matchers.IcpConfig(
+        source_capacity=4096, cloud_capacity=4096, merged_capacity=8192,
+        map_capacity=8192, max_correspond_distance=1.5, bucket_size=16,
+        source_filter_size=0.01, map_filter_size=0.01,
+        position_converge_thresh=1e-4, rotation_converge_thresh=1e-4,
+    )
+    m = matchers.IcpMatcher(cfg)
+    map_cloud, src, t_true = make_problem(pts, 4096)
+    s = m.create_state()
+    s = m.add_first(s, map_cloud, jnp.eye(4))
+    s, res = m.match(s, src, jnp.eye(4))
+    tp, rp = pose_err(res.t_mat, t_true)
+    assert bool(res.converged)
+    assert tp < 0.05 and rp < 0.01, (tp, rp)
+
+
+def test_icp_empty_map_not_converged():
+    cfg = matchers.IcpConfig(source_capacity=1024, cloud_capacity=1024,
+                             merged_capacity=2048, map_capacity=2048)
+    m = matchers.IcpMatcher(cfg)
+    src = as_cloud(room_scene(spacing=1.0), 1024)
+    s = m.create_state()  # no map seeded
+    s, res = m.match(s, src, jnp.eye(4))
+    assert int(res.num_valid) == 0
+    assert not bool(res.converged)
+
+
+def test_point_to_plane_ivox_recovers_transform():
+    pts = room_scene(spacing=0.25)
+    cfg = matchers.PointToPlaneConfig(
+        mode="ivox", source_capacity=4096, map_capacity=16384, bucket_size=8,
+        ivox_voxel_size=0.5, stencil="nearby18",
+    )
+    m = matchers.PointToPlaneMatcher(cfg)
+    map_cloud, src, t_true = make_problem(pts, 4096, T_SMALL_V)
+    s = m.create_state()
+    s = m.add_first(s, map_cloud, jnp.eye(4))
+    s, res = m.match(s, src, jnp.eye(4))
+    tp, rp = pose_err(res.t_mat, t_true)
+    assert bool(res.converged)
+    assert tp < 0.02 and rp < 0.005, (tp, rp)
+
+
+def test_point_to_plane_window_recovers_transform():
+    pts = room_scene(spacing=0.25)
+    cfg = matchers.PointToPlaneConfig(
+        mode="window", source_capacity=4096, cloud_capacity=4096,
+        merged_capacity=8192, map_capacity=8192, local_map_size=5,
+        map_filter_size=0.25, ivox_voxel_size=0.5, stencil="nearby18",
+    )
+    m = matchers.PointToPlaneMatcher(cfg)
+    map_cloud, src, t_true = make_problem(pts, 4096, T_SMALL_V)
+    s = m.create_state()
+    s = m.add_first(s, map_cloud, jnp.eye(4))
+    s, res = m.match(s, src, jnp.eye(4))
+    tp, rp = pose_err(res.t_mat, t_true)
+    assert bool(res.converged)
+    assert tp < 0.03 and rp < 0.01, (tp, rp)
+
+
+def test_loam_full_recovers_transform():
+    planar_pts = room_scene(spacing=0.25)
+    corner_pts = edge_scene(spacing=0.05)
+    cfg = matchers.LoamFullConfig(
+        corner_capacity=1024, planar_capacity=4096, merged_capacity=8192,
+        map_capacity=8192, nn_voxel_size=0.5, corner_filter_size=0.1,
+        planar_filter_size=0.25, point_search_thresh=1.0,
+    )
+    m = matchers.LoamFullMatcher(cfg)
+    t_true = np.asarray(se3_exp(jnp.asarray(T_SMALL_V, jnp.float32)))
+    planar_map = as_cloud(planar_pts, 4096)
+    corner_map = as_cloud(corner_pts, 1024)
+    src_planar = as_cloud((planar_pts - t_true[:3, 3]) @ t_true[:3, :3], 4096)
+    src_corner = as_cloud((corner_pts - t_true[:3, 3]) @ t_true[:3, :3], 1024)
+    s = m.create_state()
+    s = m.add_first(s, corner_map, planar_map, jnp.eye(4))
+    s, res = m.match(s, src_corner, src_planar, jnp.eye(4))
+    tp, rp = pose_err(res.t_mat, jnp.asarray(t_true))
+    assert bool(res.converged)
+    assert tp < 0.03 and rp < 0.01, (tp, rp)
+
+
+def test_ndt_recovers_transform():
+    pts = room_scene(spacing=0.1, noise=0.02)
+    cfg = matchers.NdtConfig(
+        voxel_size=1.0, source_filter_size=0.3, source_capacity=8192,
+        map_capacity=16384, min_points_in_voxel=3, res_outlier_thresh=50.0,
+    )
+    m = matchers.NdtMatcher(cfg)
+    map_cloud, src, t_true = make_problem(pts, 16384, T_SMALL_V)
+    s = m.create_state()
+    s = m.add_first(s, map_cloud, jnp.eye(4))
+    s, res = m.match(s, src, jnp.eye(4))
+    tp, rp = pose_err(res.t_mat, t_true)
+    assert bool(res.converged)
+    assert tp < 0.05 and rp < 0.02, (tp, rp)
+
+
+def test_icp_fitness_score():
+    pts = room_scene(spacing=0.3)
+    cfg = matchers.IcpConfig(
+        source_capacity=4096, cloud_capacity=4096, merged_capacity=8192,
+        map_capacity=8192, source_filter_size=0.3, map_filter_size=0.3,
+    )
+    m = matchers.IcpMatcher(cfg)
+    cloud = as_cloud(pts, 4096)
+    s = m.create_state()
+    s = m.add_first(s, cloud, jnp.eye(4))
+    # perfectly aligned -> ~0; offset by 0.5m -> roughly 0.25 (squared)
+    f0 = float(m.fitness(s, cloud, jnp.eye(4)))
+    t_off = jnp.eye(4).at[0, 3].set(0.5)
+    f1 = float(m.fitness(s, cloud, t_off))
+    # f0 is bounded by the double voxel-filter re-centroid shift (~0.3 voxel)
+    assert f0 < 0.05
+    assert f1 > 0.1
