@@ -1,0 +1,203 @@
+"""Frontend odometry: the fused per-scan device step.
+
+TPU re-design of FrontEnd::Run (src/slam/frontend.cpp:160-248): instead of a
+thread popping clusters from a queue, the whole per-scan flow — deskew ->
+IMU preintegration -> predict -> scan-to-map GN -> tight/loose fusion — is a
+single jitted program; the host only streams padded scan bundles in and
+drains poses out (SURVEY.md §7: no per-iteration host sync).
+
+Fusion methods (constant_variable.h:27-29):
+  * TightCouplingOptimization — preintegration predict + 30-dof fusion
+    (frontend.cpp:191-193, 250-431)
+  * LooseCoupling — IMU delta-rotation predict, matcher pose taken directly
+    (frontend.cpp:194-199, 226-229)
+  * TightCouplingKF — error-state KF (stubbed LOG(FATAL) in the reference,
+    frontend.cpp:200-201; implemented here in fusion/eskf.py)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.cloud import Cloud
+from ..core.lie import make_se3, quat_conj, quat_mul, quat_to_mat, se3_inv
+from ..core.state import ImuSegment, NavState
+from ..fusion import loose
+from ..fusion.tight import TightFusionConfig, fuse as tight_fuse
+from ..imu.preintegration import PreintParams, predict, preintegrate
+from ..lidar.deskew import deskew
+
+FUSION_LOOSE = "LooseCoupling"
+FUSION_TIGHT_OPT = "TightCouplingOptimization"
+FUSION_TIGHT_KF = "TightCouplingKF"
+
+
+class FrontendState(NamedTuple):
+    nav: NavState
+    last_pose: jax.Array  # [4, 4] pose of the previous accepted frame
+    delta_pose: jax.Array  # [4, 4] last frame-to-frame increment
+    initialized: jax.Array  # [] bool
+
+
+class StepResult(NamedTuple):
+    pose: jax.Array  # [4, 4] fused scan pose
+    delta_pose: jax.Array
+    converged: jax.Array
+    num_valid: jax.Array
+    iters: jax.Array
+    fitness: jax.Array
+
+
+@dataclass
+class FrontendConfig:
+    fusion_method: str = FUSION_TIGHT_OPT
+    gravity: Any = (0.0, 0.0, -9.81)
+    t_lidar_to_imu: Any = None  # [4, 4]
+    gyro_noise_std: float = 0.01
+    acc_noise_std: float = 0.1
+    integration_noise_cov: float = 1.0e-8
+    fusion: TightFusionConfig = TightFusionConfig()
+    init_info_diag: Any = None
+
+
+def initial_nav_state(segment_quat_last, dtype=jnp.float32) -> NavState:
+    """First-frame initialization (FrontEnd::InitOdometer, frontend.cpp:119-158):
+    pose from the IMU orientation, prior covariance
+    diag(1e-6^2 rot, 1e-2^2 vel, 1e-6^2 pos, (0.1 deg)^2 bg, 0.1^2 ba)."""
+    r0 = quat_to_mat(segment_quat_last.astype(dtype))
+    cov = jnp.zeros((15, 15), dtype)
+    cov = cov.at[0:3, 0:3].set(jnp.eye(3, dtype=dtype) * 1e-12)
+    cov = cov.at[3:6, 3:6].set(jnp.eye(3, dtype=dtype) * 1e-4)
+    cov = cov.at[6:9, 6:9].set(jnp.eye(3, dtype=dtype) * 1e-12)
+    cov = cov.at[9:12, 9:12].set(jnp.eye(3, dtype=dtype) * (0.1 * jnp.pi / 180.0) ** 2)
+    cov = cov.at[12:15, 12:15].set(jnp.eye(3, dtype=dtype) * 0.01)
+    info = jnp.linalg.inv(cov + 1e-18 * jnp.eye(15, dtype=dtype))
+    nav = NavState.identity(dtype)._replace(r=r0, info=info)
+    return nav
+
+
+class Frontend:
+    """Builds the jitted per-scan step around a matcher instance.
+
+    The matcher is any of the five registration.matchers classes; its state
+    pytree is threaded through unchanged.
+    """
+
+    def __init__(self, matcher, cfg: FrontendConfig, dtype=jnp.float32):
+        self.matcher = matcher
+        self.cfg = cfg
+        self.dtype = dtype
+        self.params = PreintParams.from_std(
+            cfg.gyro_noise_std, cfg.acc_noise_std, cfg.integration_noise_cov, dtype
+        )
+        self.t_l2i = (
+            jnp.eye(4, dtype=dtype)
+            if cfg.t_lidar_to_imu is None
+            else jnp.asarray(cfg.t_lidar_to_imu, dtype)
+        )
+        self._step = jax.jit(self._step_impl)
+        self._init_step = jax.jit(self._init_impl)
+
+    # -- first frame: init odometer + seed map (frontend.cpp:177-183) --
+    def _init_impl(self, mstate, points, rel_times, mask, ref_time, segment: ImuSegment):
+        n_seg = jnp.sum(segment.mask, dtype=jnp.int32)
+        q_last = segment.quat[jnp.maximum(n_seg - 1, 0)]
+        nav = initial_nav_state(q_last, self.dtype)
+        pts, msk = deskew(points, rel_times, mask, ref_time, segment, self.t_l2i)
+        cloud = Cloud(pts, msk)
+        mstate = self._matcher_add_first(mstate, cloud, nav.pose)
+        fstate = FrontendState(
+            nav=nav._replace(t=ref_time.astype(self.dtype)),
+            last_pose=nav.pose,
+            delta_pose=jnp.eye(4, dtype=self.dtype),
+            initialized=jnp.asarray(True),
+        )
+        return mstate, fstate
+
+    def _matcher_add_first(self, mstate, cloud: Cloud, pose):
+        return self.matcher.add_first(mstate, cloud, pose)
+
+    def _matcher_match(self, mstate, cloud: Cloud, pose):
+        return self.matcher.match(mstate, cloud, pose)
+
+    def _step_impl(
+        self,
+        mstate,
+        fstate: FrontendState,
+        points,
+        rel_times,
+        mask,
+        ref_time,
+        deskew_segment: ImuSegment,
+        preint_segment: ImuSegment,
+    ):
+        cfg = self.cfg
+        dtype = self.dtype
+        gravity = jnp.asarray(cfg.gravity, dtype)
+        nav = fstate.nav
+
+        pts, msk = deskew(points, rel_times, mask, ref_time, deskew_segment, self.t_l2i)
+        cloud = Cloud(pts, msk)
+
+        pre = preintegrate(preint_segment, self.params, nav.bg, nav.ba)
+
+        if cfg.fusion_method == FUSION_TIGHT_OPT:
+            pred = predict(pre, nav, gravity)
+        elif cfg.fusion_method == FUSION_LOOSE:
+            # loose predict: chain delta pose; rotation from the IMU
+            # orientation increment (frontend.cpp:194-199)
+            n_seg = jnp.sum(preint_segment.mask, dtype=jnp.int32)
+            q_first = preint_segment.quat[0].astype(dtype)
+            q_last = preint_segment.quat[jnp.maximum(n_seg - 1, 0)].astype(dtype)
+            dq = quat_mul(quat_conj(q_first), q_last)
+            pose_pred = nav.pose @ fstate.delta_pose
+            r_pred = nav.r @ quat_to_mat(dq)
+            pred = nav._replace(r=r_pred, p=pose_pred[:3, 3])
+        else:
+            raise NotImplementedError(cfg.fusion_method)
+
+        mstate, res = self._matcher_match(mstate, cloud, pred.pose)
+
+        if cfg.fusion_method == FUSION_TIGHT_OPT:
+            fused = tight_fuse(nav, pre, res.t_mat, pred._replace(t=ref_time.astype(dtype)),
+                               gravity, cfg.fusion)
+        else:
+            fused = loose.fuse(pred._replace(t=ref_time.astype(dtype)), res.t_mat)
+
+        # scan dropped when registration fails (frontend.cpp:208-210)
+        new_nav = jax.tree.map(lambda a, b: jnp.where(res.converged, a, b), fused, nav)
+        curr_pose = new_nav.pose
+        delta = jnp.where(res.converged, se3_inv(fstate.last_pose) @ curr_pose, fstate.delta_pose)
+        last_pose = jnp.where(res.converged, curr_pose, fstate.last_pose)
+
+        new_fstate = FrontendState(
+            nav=new_nav,
+            last_pose=last_pose,
+            delta_pose=delta,
+            initialized=fstate.initialized,
+        )
+        out = StepResult(
+            pose=curr_pose,
+            delta_pose=delta,
+            converged=res.converged,
+            num_valid=res.num_valid,
+            iters=res.iters,
+            fitness=res.total_res,
+        )
+        return mstate, new_fstate, out
+
+    # ------------------------------------------------------------------
+    def init_frame(self, mstate, scan_points, rel_times, mask, ref_time, segment):
+        return self._init_step(
+            mstate, scan_points, rel_times, mask, jnp.asarray(ref_time, self.dtype), segment
+        )
+
+    def step(self, mstate, fstate, scan_points, rel_times, mask, ref_time, deskew_seg, preint_seg):
+        return self._step(
+            mstate, fstate, scan_points, rel_times, mask,
+            jnp.asarray(ref_time, self.dtype), deskew_seg, preint_seg,
+        )

@@ -1,0 +1,257 @@
+"""SLAM system orchestration (mapping mode).
+
+Host-side replacement for the reference's System + thread pipeline
+(src/slam/system.cpp): the mutex/CV queue plumbing collapses into a simple
+feed loop — per scan, extract the IMU segments (host, NumPy), call the jitted
+frontend step (device), then apply the host-side keyframe policy
+(System::ProcessMappingFrameCache + IsKeyFrame, system.cpp:627-689, 777-794).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+import jax.numpy as _jnp
+
+from ..backend.loop_closure import LoopCloser, LoopClosureConfig
+from ..backend.pose_graph import PoseGraphBuilder, optimize as pg_optimize
+from ..core.lie import rotation_to_rpy
+from ..core.state import ImuSegment
+from ..imu.stream import ImuStream
+from ..registration import matchers
+from .frontend import Frontend, FrontendConfig, FrontendState
+from .keyframes import KeyFrame, KeyFrameStore
+
+
+@dataclass
+class SystemConfig:
+    registration_mode: str = "IcpOptimized"
+    matcher_config: object = None
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    keyframe_delta_dist: float = 1.0  # system.cpp:777-794
+    keyframe_delta_rotation: float = 0.2
+    scan_capacity: int = 16384
+    imu_segment_capacity: int = 32
+    imu_has_orientation: bool = False
+    imu_buffer_size: int = 2000
+    gravity_norm: float = 9.81
+    keyframe_save_dir: str | None = None
+    # when True (loose coupling w/o static init need) skip the static init
+    require_imu_static_init: bool = True
+    # loop closure + pose-graph backend (system.cpp:55-58, 691-721)
+    enable_loopclosure: bool = False
+    loopclosure: LoopClosureConfig = field(default_factory=LoopClosureConfig)
+    pose_graph_vertex_capacity: int = 512
+    pose_graph_edge_capacity: int = 1024
+    pose_graph_iterations: int = 15
+
+
+def build_matcher(cfg: SystemConfig):
+    mode = cfg.registration_mode
+    if mode == "IcpOptimized":
+        mcfg = cfg.matcher_config or matchers.IcpConfig()
+        return matchers.IcpMatcher(mcfg)
+    if mode == "PointToPlane_IVOX":
+        mcfg = cfg.matcher_config or matchers.PointToPlaneConfig(mode="ivox")
+        return matchers.PointToPlaneMatcher(mcfg)
+    if mode == "PointToPlane_KdTree":
+        mcfg = cfg.matcher_config or matchers.PointToPlaneConfig(mode="window")
+        return matchers.PointToPlaneMatcher(mcfg)
+    if mode == "IncrementalNDT":
+        mcfg = cfg.matcher_config or matchers.NdtConfig()
+        return matchers.NdtMatcher(mcfg)
+    if mode == "LoamFull_KdTree":
+        mcfg = cfg.matcher_config or matchers.LoamFullConfig()
+        return matchers.LoamFullMatcher(mcfg)
+    raise ValueError(f"unknown registration mode: {mode}")
+
+
+def pad_scan(points: np.ndarray, rel_times: np.ndarray, capacity: int):
+    n = min(len(points), capacity)
+    pts = np.zeros((capacity, 3), np.float32)
+    rts = np.zeros(capacity, np.float32)
+    mask = np.zeros(capacity, bool)
+    pts[:n] = points[:n]
+    rts[:n] = rel_times[:n]
+    mask[:n] = True
+    return jnp.asarray(pts), jnp.asarray(rts), jnp.asarray(mask)
+
+
+def to_device_segment(seg: ImuSegment, dtype=jnp.float32) -> ImuSegment:
+    return ImuSegment(
+        t=jnp.asarray(seg.t, dtype),
+        gyro=jnp.asarray(seg.gyro, dtype),
+        accel=jnp.asarray(seg.accel, dtype),
+        quat=jnp.asarray(seg.quat, dtype),
+        mask=jnp.asarray(seg.mask),
+    )
+
+
+class SlamSystem:
+    """Mapping-mode SLAM: frontend odometry + keyframing (+ backend hooks)."""
+
+    def __init__(self, cfg: SystemConfig):
+        self.cfg = cfg
+        self.matcher = build_matcher(cfg)
+        self.frontend = Frontend(self.matcher, cfg.frontend)
+        self.imu = ImuStream(
+            has_orientation=cfg.imu_has_orientation,
+            gravity_norm=cfg.gravity_norm,
+            buffer_size=cfg.imu_buffer_size,
+            require_static_init=cfg.require_imu_static_init,
+        )
+        self.mstate = self.matcher.create_state()
+        self.fstate: FrontendState | None = None
+        self.keyframes = KeyFrameStore(save_dir=cfg.keyframe_save_dir)
+        self.trajectory_t: list[float] = []
+        self.trajectory: list[np.ndarray] = []
+        self._accum_delta = np.eye(4)
+        self._last_scan_end: float | None = None
+        self.stats: list[dict] = []
+        self.graph = PoseGraphBuilder(cfg.pose_graph_vertex_capacity,
+                                      cfg.pose_graph_edge_capacity)
+        self.loop_closer = LoopCloser(cfg.loopclosure) if cfg.enable_loopclosure else None
+        self._last_kf_odom_pose: np.ndarray | None = None
+        self.loop_results: list = []
+
+    def push_imu(self, t, gyro, accel, quat=None):
+        self.imu.push(t, gyro, accel, quat)
+        if self.imu.init.done:
+            self.cfg.frontend.gravity = tuple(self.imu.gravity)
+
+    def _is_keyframe(self, accum: np.ndarray) -> bool:
+        """System::IsKeyFrame (system.cpp:777-794)."""
+        if len(self.keyframes) == 0:
+            return True
+        d = np.linalg.norm(accum[:3, 3])
+        rpy = np.abs(np.asarray(rotation_to_rpy(jnp.asarray(accum[:3, :3]))))
+        return d > self.cfg.keyframe_delta_dist or (rpy > self.cfg.keyframe_delta_rotation).any()
+
+    def process_scan(self, t_start: float, scan_end: float, points, rel_times) -> dict | None:
+        """Feed one scan. Returns a stats dict (pose etc.) or None if skipped
+        (IMU not initialized / coverage missing, preprocessing.cpp:124-142)."""
+        if not self.imu.initialized or not self.imu.covers(t_start, scan_end):
+            return None
+        cap = self.cfg.imu_segment_capacity
+        deskew_seg = self.imu.get_segment(t_start, scan_end, cap)
+        if deskew_seg is None:
+            return None
+
+        pts, rts, mask = pad_scan(points, rel_times, self.cfg.scan_capacity)
+        dseg = to_device_segment(deskew_seg)
+
+        t0 = time.perf_counter()
+        if self.fstate is None:
+            # deskew reference = scan end; first frame seeds the map there
+            self.mstate, self.fstate = self.frontend.init_frame(
+                self.mstate, pts, rts - (scan_end - t_start), mask, scan_end, dseg
+            )
+            pose = np.asarray(self.fstate.nav.pose)
+            converged = True
+            stats = {"init": True}
+        else:
+            prev_end = self._last_scan_end if self._last_scan_end is not None else t_start
+            preint_seg = self.imu.get_segment(prev_end, scan_end, cap)
+            if preint_seg is None:
+                return None
+            pseg = to_device_segment(preint_seg)
+            self.mstate, self.fstate, out = self.frontend.step(
+                self.mstate, self.fstate, pts, rts - (scan_end - t_start), mask,
+                scan_end, dseg, pseg,
+            )
+            pose = np.asarray(out.pose)
+            converged = bool(out.converged)
+            stats = {
+                "init": False,
+                "num_valid": int(out.num_valid),
+                "iters": int(out.iters),
+            }
+            self._accum_delta = self._accum_delta @ np.asarray(out.delta_pose)
+        elapsed = time.perf_counter() - t0
+
+        self._last_scan_end = scan_end
+        stats.update({"t": scan_end, "pose": pose, "converged": converged, "wall": elapsed})
+
+        if converged:
+            self.trajectory_t.append(scan_end)
+            self.trajectory.append(pose)
+            if self._is_keyframe(self._accum_delta):
+                self._accum_delta = np.eye(4)
+                kf_id = len(self.keyframes)
+                self.keyframes.add(
+                    KeyFrame(
+                        kf_id=kf_id,
+                        timestamp=scan_end,
+                        pose=pose,
+                        cloud=np.asarray(points, np.float32),
+                    )
+                )
+                stats["keyframe"] = True
+                self._on_keyframe(kf_id, pose)
+        self.stats.append(stats)
+        return stats
+
+    def _on_keyframe(self, kf_id: int, odom_pose: np.ndarray) -> None:
+        # pose-graph vertex + odometry edge (system.cpp:647-671); the edge
+        # measurement comes from the odometry frame so corrections don't
+        # contaminate subsequent increments
+        odom_meas = None
+        if self._last_kf_odom_pose is not None:
+            odom_meas = np.linalg.inv(self._last_kf_odom_pose) @ odom_pose
+        self._last_kf_odom_pose = odom_pose.copy()
+        self.graph.add_vertex(odom_pose, odom_meas)
+        # the graph's current estimate is the keyframe's corrected pose
+        self.keyframes.frames[kf_id].pose = self.graph.poses[kf_id].copy()
+
+        if self.loop_closer is None:
+            return
+        corrected = self.graph.poses[: self.graph.n_vertices]
+        res = self.loop_closer.try_close(self.keyframes.frames, corrected, kf_id)
+        if res is None:
+            return
+        self.loop_results.append(res)
+        # loop edge + full pose-graph optimization + pose rewrite
+        # (System::PerformLoopclosureOptimization, system.cpp:691-721)
+        self.graph.add_edge(
+            res.candidate_id, res.current_id, res.delta_pose,
+            (1e2, 1e2, 1e2, 1e4, 1e4, 1e4),
+        )
+        g = pg_optimize(self.graph.to_device(), self.cfg.pose_graph_iterations)
+        new_poses = np.asarray(g.poses)
+        self.graph.set_poses(new_poses)
+        self.keyframes.set_poses(new_poses[: self.graph.n_vertices])
+
+    # -- dataset driver -------------------------------------------------
+    def run_dataset(self, dataset, max_scans=None, progress=False) -> dict:
+        """Run a SimDataset (or any object with the same fields)."""
+        scan_period = 1.0 / 10.0
+        if len(dataset.scans) >= 2:
+            scan_period = dataset.scans[1].t - dataset.scans[0].t
+        imu_idx = 0
+        n_imu = len(dataset.imu_t)
+        results = []
+        scans = dataset.scans[:max_scans] if max_scans else dataset.scans
+        for k, scan in enumerate(scans):
+            scan_end = scan.t + scan_period
+            while imu_idx < n_imu and dataset.imu_t[imu_idx] <= scan_end + 0.05:
+                self.push_imu(
+                    dataset.imu_t[imu_idx],
+                    dataset.imu_gyro[imu_idx],
+                    dataset.imu_accel[imu_idx],
+                )
+                imu_idx += 1
+            r = self.process_scan(scan.t, scan_end, scan.points, scan.rel_times)
+            if r is not None:
+                results.append(r)
+            if progress and k % 20 == 0:
+                print(f"scan {k}/{len(scans)}", flush=True)
+        return {
+            "poses": np.asarray(self.trajectory),
+            "times": np.asarray(self.trajectory_t),
+            "n_keyframes": len(self.keyframes),
+            "results": results,
+        }

@@ -55,6 +55,17 @@ def simulate(n_frames=40, imu_hz=100, frame_hz=10, gyro_bias=0.02, acc_bias=0.05
     return frames
 
 
+import functools
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _fused_step(last, seg, lidar_pose, g, cfg, params):
+    pre = preintegrate(seg, params, last.bg, last.ba)
+    pred = predict(pre, last, g)
+    return fuse(last, pre, lidar_pose, pred, g, cfg)
+
+
 def run_fusion(frames, cfg, params, dtype=jnp.float64):
     r0, v0, p0, _ = circle_truth(0.0)
     info0 = np.zeros((15, 15))
@@ -76,12 +87,10 @@ def run_fusion(frames, cfg, params, dtype=jnp.float64):
             quat=jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype), (len(ts), 1)),
             mask=jnp.ones(len(ts), bool),
         )
-        pre = preintegrate(seg, params, last.bg, last.ba)
-        pred = predict(pre, last, g)
         lidar_pose = jnp.eye(4, dtype=dtype)
         lidar_pose = lidar_pose.at[:3, :3].set(jnp.asarray(meas_r, dtype))
         lidar_pose = lidar_pose.at[:3, 3].set(jnp.asarray(meas_p, dtype))
-        last = fuse(last, pre, lidar_pose, pred, g, cfg)
+        last = _fused_step(last, seg, lidar_pose, g, cfg, params)
     return last, truth
 
 
