@@ -27,9 +27,14 @@ from ..core.cloud import Cloud
 from ..core.lie import make_se3, quat_conj, quat_mul, quat_to_mat, se3_inv
 from ..core.state import ImuSegment, NavState
 from ..fusion import loose
+from ..fusion import eskf
 from ..fusion.tight import TightFusionConfig, fuse as tight_fuse
 from ..imu.preintegration import PreintParams, predict, preintegrate
 from ..lidar.deskew import deskew
+from ..loam.features import FeatureConfig, extract_features
+from ..loam.projection import LidarGeometry, project, synth_rings
+from ..ops.voxel import voxel_downsample
+from ..registration.matchers import LoamFullMatcher, PointToPlaneMatcher
 
 FUSION_LOOSE = "LooseCoupling"
 FUSION_TIGHT_OPT = "TightCouplingOptimization"
@@ -62,6 +67,11 @@ class FrontendConfig:
     integration_noise_cov: float = 1.0e-8
     fusion: TightFusionConfig = TightFusionConfig()
     init_info_diag: Any = None
+    # LOAM feature processing (preprocessing.cpp:226-237): when geometry is
+    # set, scans are projected + feature-extracted before matching
+    lidar_geometry: LidarGeometry | None = None
+    feature: FeatureConfig = FeatureConfig()
+    planar_voxel_filter_size: float = 0.5
 
 
 def initial_nav_state(segment_quat_last, dtype=jnp.float32) -> NavState:
@@ -94,6 +104,10 @@ class Frontend:
         self.params = PreintParams.from_std(
             cfg.gyro_noise_std, cfg.acc_noise_std, cfg.integration_noise_cov, dtype
         )
+        self.eskf_params = eskf.EskfParams.from_std(
+            cfg.gyro_noise_std, cfg.acc_noise_std,
+            cfg.fusion.gyro_rw_std, cfg.fusion.acc_rw_std, dtype,
+        )
         self.t_l2i = (
             jnp.eye(4, dtype=dtype)
             if cfg.t_lidar_to_imu is None
@@ -103,13 +117,16 @@ class Frontend:
         self._init_step = jax.jit(self._init_impl)
 
     # -- first frame: init odometer + seed map (frontend.cpp:177-183) --
-    def _init_impl(self, mstate, points, rel_times, mask, ref_time, segment: ImuSegment):
+    def _init_impl(self, mstate, points, rel_times, mask, ref_time, segment: ImuSegment, ring):
         n_seg = jnp.sum(segment.mask, dtype=jnp.int32)
         q_last = segment.quat[jnp.maximum(n_seg - 1, 0)]
         nav = initial_nav_state(q_last, self.dtype)
+        if self.cfg.fusion_method == FUSION_TIGHT_KF:
+            # in KF mode the info slot stores the error COVARIANCE
+            nav = nav._replace(info=eskf.create(nav).cov)
         pts, msk = deskew(points, rel_times, mask, ref_time, segment, self.t_l2i)
         cloud = Cloud(pts, msk)
-        mstate = self._matcher_add_first(mstate, cloud, nav.pose)
+        mstate = self._matcher_add_first(mstate, cloud, nav.pose, ring, rel_times)
         fstate = FrontendState(
             nav=nav._replace(t=ref_time.astype(self.dtype)),
             last_pose=nav.pose,
@@ -118,10 +135,33 @@ class Frontend:
         )
         return mstate, fstate
 
-    def _matcher_add_first(self, mstate, cloud: Cloud, pose):
+    def _process(self, cloud: Cloud, ring, rel_times):
+        """Feature extraction branch (preprocessing.cpp:226-237): project the
+        deskewed cloud and split into corner/planar clouds. The planar cloud
+        is voxel-filtered like the reference's planar_voxel_filter."""
+        cfg = self.cfg
+        scan = project(cloud.points, ring, rel_times, cloud.mask, cfg.lidar_geometry)
+        corner, planar = extract_features(scan, cfg.feature)
+        planar = voxel_downsample(
+            planar.points, planar.mask, cfg.planar_voxel_filter_size,
+            cfg.feature.planar_capacity,
+        )
+        return Cloud(planar.points, planar.mask), corner
+
+    def _matcher_add_first(self, mstate, cloud: Cloud, pose, ring=None, rel_times=None):
+        if self.cfg.lidar_geometry is not None:
+            planar, corner = self._process(cloud, ring, rel_times)
+            if isinstance(self.matcher, LoamFullMatcher):
+                return self.matcher.add_first(mstate, corner, planar, pose)
+            return self.matcher.add_first(mstate, planar, pose)
         return self.matcher.add_first(mstate, cloud, pose)
 
-    def _matcher_match(self, mstate, cloud: Cloud, pose):
+    def _matcher_match(self, mstate, cloud: Cloud, pose, ring=None, rel_times=None):
+        if self.cfg.lidar_geometry is not None:
+            planar, corner = self._process(cloud, ring, rel_times)
+            if isinstance(self.matcher, LoamFullMatcher):
+                return self.matcher.match(mstate, corner, planar, pose)
+            return self.matcher.match(mstate, planar, pose)
         return self.matcher.match(mstate, cloud, pose)
 
     def _step_impl(
@@ -134,6 +174,7 @@ class Frontend:
         ref_time,
         deskew_segment: ImuSegment,
         preint_segment: ImuSegment,
+        ring,
     ):
         cfg = self.cfg
         dtype = self.dtype
@@ -143,10 +184,15 @@ class Frontend:
         pts, msk = deskew(points, rel_times, mask, ref_time, deskew_segment, self.t_l2i)
         cloud = Cloud(pts, msk)
 
-        pre = preintegrate(preint_segment, self.params, nav.bg, nav.ba)
+        if cfg.fusion_method != FUSION_TIGHT_KF:
+            pre = preintegrate(preint_segment, self.params, nav.bg, nav.ba)
 
         if cfg.fusion_method == FUSION_TIGHT_OPT:
             pred = predict(pre, nav, gravity)
+        elif cfg.fusion_method == FUSION_TIGHT_KF:
+            es = eskf.EskfState(nav=nav, cov=nav.info)
+            es = eskf.predict(es, preint_segment, self.eskf_params, gravity)
+            pred = es.nav
         elif cfg.fusion_method == FUSION_LOOSE:
             # loose predict: chain delta pose; rotation from the IMU
             # orientation increment (frontend.cpp:194-199)
@@ -160,11 +206,16 @@ class Frontend:
         else:
             raise NotImplementedError(cfg.fusion_method)
 
-        mstate, res = self._matcher_match(mstate, cloud, pred.pose)
+        mstate, res = self._matcher_match(mstate, cloud, pred.pose, ring, rel_times)
 
         if cfg.fusion_method == FUSION_TIGHT_OPT:
             fused = tight_fuse(nav, pre, res.t_mat, pred._replace(t=ref_time.astype(dtype)),
                                gravity, cfg.fusion)
+        elif cfg.fusion_method == FUSION_TIGHT_KF:
+            es2 = eskf.update_pose(
+                es, res.t_mat, cfg.fusion.lidar_rotation_std, cfg.fusion.lidar_position_std
+            )
+            fused = es2.nav._replace(info=es2.cov, t=ref_time.astype(dtype))
         else:
             fused = loose.fuse(pred._replace(t=ref_time.astype(dtype)), res.t_mat)
 
@@ -191,13 +242,22 @@ class Frontend:
         return mstate, new_fstate, out
 
     # ------------------------------------------------------------------
-    def init_frame(self, mstate, scan_points, rel_times, mask, ref_time, segment):
+    def _default_ring(self, points):
+        if self.cfg.lidar_geometry is None:
+            return jnp.zeros(points.shape[0], jnp.int32)
+        return synth_rings(points, self.cfg.lidar_geometry.n_rows)
+
+    def init_frame(self, mstate, scan_points, rel_times, mask, ref_time, segment, ring=None):
+        ring = self._default_ring(scan_points) if ring is None else ring
         return self._init_step(
-            mstate, scan_points, rel_times, mask, jnp.asarray(ref_time, self.dtype), segment
+            mstate, scan_points, rel_times, mask, jnp.asarray(ref_time, self.dtype),
+            segment, ring,
         )
 
-    def step(self, mstate, fstate, scan_points, rel_times, mask, ref_time, deskew_seg, preint_seg):
+    def step(self, mstate, fstate, scan_points, rel_times, mask, ref_time, deskew_seg,
+             preint_seg, ring=None):
+        ring = self._default_ring(scan_points) if ring is None else ring
         return self._step(
             mstate, fstate, scan_points, rel_times, mask,
-            jnp.asarray(ref_time, self.dtype), deskew_seg, preint_seg,
+            jnp.asarray(ref_time, self.dtype), deskew_seg, preint_seg, ring,
         )
