@@ -1,0 +1,3 @@
+from .localizer import LocalizationConfig, Localizer
+
+__all__ = ["LocalizationConfig", "Localizer"]

@@ -79,6 +79,10 @@ def initial_nav_state(segment_quat_last, dtype=jnp.float32) -> NavState:
     pose from the IMU orientation, prior covariance
     diag(1e-6^2 rot, 1e-2^2 vel, 1e-6^2 pos, (0.1 deg)^2 bg, 0.1^2 ba)."""
     r0 = quat_to_mat(segment_quat_last.astype(dtype))
+    return _nav_with_init_prior(r0, jnp.zeros(3, dtype), dtype)
+
+
+def _nav_with_init_prior(r0, p0, dtype=jnp.float32) -> NavState:
     cov = jnp.zeros((15, 15), dtype)
     cov = cov.at[0:3, 0:3].set(jnp.eye(3, dtype=dtype) * 1e-12)
     cov = cov.at[3:6, 3:6].set(jnp.eye(3, dtype=dtype) * 1e-4)
@@ -86,7 +90,7 @@ def initial_nav_state(segment_quat_last, dtype=jnp.float32) -> NavState:
     cov = cov.at[9:12, 9:12].set(jnp.eye(3, dtype=dtype) * (0.1 * jnp.pi / 180.0) ** 2)
     cov = cov.at[12:15, 12:15].set(jnp.eye(3, dtype=dtype) * 0.01)
     info = jnp.linalg.inv(cov + 1e-18 * jnp.eye(15, dtype=dtype))
-    nav = NavState.identity(dtype)._replace(r=r0, info=info)
+    nav = NavState.identity(dtype)._replace(r=r0, p=p0, info=info)
     return nav
 
 
@@ -246,6 +250,22 @@ class Frontend:
         if self.cfg.lidar_geometry is None:
             return jnp.zeros(points.shape[0], jnp.int32)
         return synth_rings(points, self.cfg.lidar_geometry.n_rows)
+
+    def init_from_pose(self, pose, ref_time) -> FrontendState:
+        """Localization-mode initialization (Localization::Init,
+        localization.cpp:114-169): the nav state starts at the fitness-gated
+        matched pose with the standard first-frame prior; the frozen map is
+        NOT touched."""
+        pose = jnp.asarray(pose, self.dtype)
+        nav = _nav_with_init_prior(pose[:3, :3], pose[:3, 3], self.dtype)
+        if self.cfg.fusion_method == FUSION_TIGHT_KF:
+            nav = nav._replace(info=eskf.create(nav).cov)
+        return FrontendState(
+            nav=nav._replace(t=jnp.asarray(ref_time, self.dtype)),
+            last_pose=nav.pose,
+            delta_pose=jnp.eye(4, dtype=self.dtype),
+            initialized=jnp.asarray(True),
+        )
 
     def init_frame(self, mstate, scan_points, rel_times, mask, ref_time, segment, ring=None):
         ring = self._default_ring(scan_points) if ring is None else ring

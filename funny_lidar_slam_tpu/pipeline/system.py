@@ -225,6 +225,32 @@ class SlamSystem:
         self.graph.set_poses(new_poses)
         self.keyframes.set_poses(new_poses[: self.graph.n_vertices])
 
+    # -- map products ----------------------------------------------------
+    def save_map(self, map_dir: str, voxel_size: float = 0.3,
+                 split: bool = False, tile_size: float = 100.0) -> str:
+        """System::SaveMap (system.cpp:299-340): merge all keyframe clouds
+        (voxel-filtered before and after the merge) into `map.pcd`; with
+        `split`, also write 100 m tile maps + index (SplitMap::Split)."""
+        import os
+
+        from ..io.pcd import voxel_downsample_np, write_pcd
+        from ..maps.split_map import save_tiles
+
+        os.makedirs(map_dir, exist_ok=True)
+        merged = []
+        for kf in self.keyframes.frames:
+            c = voxel_downsample_np(kf.cloud, voxel_size)
+            merged.append(c @ kf.pose[:3, :3].T + kf.pose[:3, 3])
+        cloud = (
+            voxel_downsample_np(np.concatenate(merged), voxel_size)
+            if merged else np.zeros((0, 3), np.float32)
+        )
+        path = os.path.join(map_dir, "map.pcd")
+        write_pcd(path, cloud)
+        if split:
+            save_tiles(map_dir, cloud, tile_size)
+        return path
+
     # -- dataset driver -------------------------------------------------
     def run_dataset(self, dataset, max_scans=None, progress=False) -> dict:
         """Run a SimDataset (or any object with the same fields)."""

@@ -202,6 +202,17 @@ class IcpMatcher:
             t_mat, src.points, src.mask, s.m, 1.0 / c.nn_voxel_size, max_range**2, c.stencil
         )
 
+    def set_map(self, s: WindowMapState, map_cloud: Cloud) -> WindowMapState:
+        """Replace the local map wholesale (localization mode:
+        Localization::LoadLocalMap -> AddCloudToLocalMap with
+        is_localization_mode, loam_point_to_plane_kdtree.h:56-80)."""
+        c = self.cfg
+        m = voxel_hash.build(
+            c.map_capacity, c.bucket_size, map_cloud.points, map_cloud.mask,
+            1.0 / c.nn_voxel_size,
+        )
+        return s._replace(m=m)
+
 
 # ---------------------------------------------------------------------------
 # Point-to-plane (KdTree-window and iVox variants)
@@ -338,6 +349,21 @@ class PointToPlaneMatcher:
             max_range**2, self.cfg.stencil,
         )
 
+    def set_map(self, s, map_cloud: Cloud):
+        """Replace the map wholesale (localization LoadLocalMap)."""
+        c = self.cfg
+        if isinstance(s, P2PlaneWindowState):
+            m = voxel_hash.build(
+                c.map_capacity, c.bucket_size, map_cloud.points, map_cloud.mask, self.inv
+            )
+            return P2PlaneWindowState(s.w._replace(m=m))
+        fresh = voxel_hash.create(c.map_capacity, c.bucket_size, self.dtype)
+        m = voxel_hash.insert(
+            fresh, map_cloud.points, map_cloud.mask, self.inv,
+            max_age=0, center_policy=True,
+        )
+        return P2PlaneIvoxState(m, s.last_added)
+
 
 # ---------------------------------------------------------------------------
 # Full LOAM: corner (line) + planar (plane) maps (loam_full_kdtree.h)
@@ -443,6 +469,25 @@ class LoamFullMatcher:
             planar=window_add(s.planar, pw, t_mat, c.planar_filter_size, self.inv, c.merged_capacity),
         )
 
+    def fitness(self, s: LoamFullState, planar: Cloud, t_mat, max_range=1.0):
+        t_mat = jnp.asarray(t_mat, self.dtype)
+        return fitness_score(
+            t_mat, planar.points, planar.mask, s.planar.m, self.inv,
+            max_range**2, self.cfg.stencil,
+        )
+
+    def set_map(self, s: LoamFullState, map_cloud: Cloud) -> LoamFullState:
+        """Replace both feature maps with the (unlabelled) local map cloud —
+        localization mode feeds the prebuilt map to every matcher the same way
+        (Localization::LoadLocalMap)."""
+        c = self.cfg
+        m = voxel_hash.build(
+            c.map_capacity, c.bucket_size, map_cloud.points, map_cloud.mask, self.inv
+        )
+        return LoamFullState(
+            corner=s.corner._replace(m=m), planar=s.planar._replace(m=m)
+        )
+
 
 # ---------------------------------------------------------------------------
 # Incremental NDT (incremental_ndt.h)
@@ -541,3 +586,26 @@ class NdtMatcher:
         src = self._source(cloud)
         world = transform_cloud(t_mat, src)
         return self._insert(s, world)
+
+    def set_map(self, s: NdtState, map_cloud: Cloud) -> NdtState:
+        """Replace the NDT map wholesale (localization LoadLocalMap):
+        re-estimate every voxel Gaussian from the frozen local map."""
+        fresh = NdtState(ndt_map.create(self.cfg.map_capacity, self.dtype),
+                         jnp.asarray(True))
+        return self._insert(fresh, map_cloud)
+
+    def fitness(self, s: NdtState, cloud: Cloud, t_mat, max_range=1.0):
+        """Mean distance of transformed source points to the nearest voxel
+        mean (kdtree-fitness analog of RegistrationInterface::GetFitnessScore
+        for the distribution map)."""
+        t_mat = jnp.asarray(t_mat, self.dtype)
+        src = self._source(cloud)
+        world = src.points @ t_mat[:3, :3].T + t_mat[:3, 3]
+        mu, _, valid = ndt_map.query_stencil(s.m, world, self.inv)
+        d2 = jnp.sum((world[:, None, :] - mu) ** 2, -1)
+        d2 = jnp.where(valid, d2, jnp.inf)
+        dmin2 = jnp.min(d2, axis=1)
+        ok = src.mask & (dmin2 <= max_range**2)
+        return jnp.sum(jnp.where(ok, jnp.sqrt(dmin2), 0.0)) / jnp.maximum(
+            jnp.sum(ok), 1
+        )
