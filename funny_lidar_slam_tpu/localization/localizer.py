@@ -32,7 +32,8 @@ import jax.numpy as jnp
 
 from ..core.cloud import Cloud
 from ..imu.stream import ImuStream
-from ..io.pcd import read_pcd, voxel_downsample_np
+from ..io.pcd import read_pcd
+from ..native import voxel_downsample as voxel_downsample_np
 from ..maps.split_map import TileMapLoader
 from ..pipeline.frontend import Frontend, FrontendConfig, FrontendState
 from ..pipeline.system import build_matcher, pad_scan, to_device_segment, SystemConfig

@@ -30,11 +30,11 @@ import jax.numpy as jnp
 from ..ops.lin3 import inv3 as _inv3
 from ..ops.lin3 import sym3_eigvalsh
 from ..ops.voxel import group_by_voxel, spatial_hash, voxel_coords
+from .voxel_hash import fingerprint
 
 
 class NdtMap(NamedTuple):
-    coords: jax.Array  # [C, 3] int32
-    occupied: jax.Array  # [C] bool
+    fp: jax.Array  # [C] uint32 voxel fingerprint (0 = empty slot)
     count: jax.Array  # [C] f32 total points accumulated
     mean: jax.Array  # [C, 3]
     m2: jax.Array  # [C, 3, 3] sum of centered outer products
@@ -45,14 +45,17 @@ class NdtMap(NamedTuple):
 
     @property
     def capacity(self) -> int:
-        return self.coords.shape[0]
+        return self.fp.shape[0]
+
+    @property
+    def occupied(self) -> jax.Array:
+        return self.fp != 0
 
 
 def create(capacity: int, dtype=jnp.float32) -> NdtMap:
     assert capacity & (capacity - 1) == 0
     return NdtMap(
-        coords=jnp.zeros((capacity, 3), jnp.int32),
-        occupied=jnp.zeros(capacity, bool),
+        fp=jnp.zeros(capacity, jnp.uint32),
         count=jnp.zeros(capacity, dtype),
         mean=jnp.zeros((capacity, 3), dtype),
         m2=jnp.zeros((capacity, 3, 3), dtype),
@@ -61,6 +64,17 @@ def create(capacity: int, dtype=jnp.float32) -> NdtMap:
         age=jnp.zeros(capacity, jnp.int32),
         epoch=jnp.zeros((), jnp.int32),
     )
+
+
+def _probe(m: NdtMap, coords: jax.Array, num_probes: int):
+    """Double-hashed fingerprint probing (same scheme as voxel_hash)."""
+    base = spatial_hash(coords, m.capacity)
+    fp = fingerprint(coords)
+    step = ((fp >> jnp.uint32(16)).astype(jnp.int32) | 1)
+    offs = jnp.arange(num_probes, dtype=jnp.int32)
+    slots = (base[..., None] + offs * step[..., None]) & (m.capacity - 1)
+    slot_fp = m.fp[slots]
+    return slots, slot_fp == fp[..., None], slot_fp == 0
 
 
 def _sym3_eig_max(a: jax.Array) -> jax.Array:
@@ -128,14 +142,9 @@ def insert(
     rep_coords = g.group_coords[rep_idx]
 
     # --- slot lookup / claim (same scheme as voxel_hash.insert) ---
-    base = spatial_hash(rep_coords, cap)
-    offs = jnp.arange(num_probes, dtype=jnp.int32)
-    slots = (base[:, None] + offs) & (cap - 1)
-    slot_coords = m.coords[slots]
-    match = jnp.all(slot_coords == rep_coords[:, None, :], axis=-1) & m.occupied[slots]
-    empty = ~m.occupied[slots]
+    slots, match, empty = _probe(m, rep_coords, num_probes)
     if max_age > 0:
-        empty = empty | (m.occupied[slots] & ((epoch - m.age[slots]) > max_age))
+        empty = empty | (~empty & ((epoch - m.age[slots]) > max_age))
 
     has_match = jnp.any(match, axis=-1)
     match_slot = jnp.take_along_axis(slots, jnp.argmax(match, axis=-1)[:, None], axis=-1)[:, 0]
@@ -178,8 +187,9 @@ def insert(
     estimated = est_cnt | (jnp.asarray(estimate_all) & (tot > 0))
 
     tgt = jnp.where(do_merge, assigned, cap)
-    coords_new = m.coords.at[jnp.where(upd, assigned, cap)].set(rep_coords, mode="drop")
-    occupied_new = m.occupied.at[jnp.where(upd, assigned, cap)].set(True, mode="drop")
+    fp_new = m.fp.at[jnp.where(upd, assigned, cap)].set(
+        fingerprint(rep_coords), mode="drop"
+    )
     age_new = m.age.at[jnp.where(upd, assigned, cap)].set(epoch, mode="drop")
     count_new = m.count.at[tgt].set(tot, mode="drop")
     mean_new = m.mean.at[tgt].set(new_mean, mode="drop")
@@ -187,7 +197,7 @@ def insert(
     info_new = m.info.at[tgt].set(info, mode="drop")
     est_new = m.estimated.at[tgt].set(estimated, mode="drop")
 
-    return NdtMap(coords_new, occupied_new, count_new, mean_new, m2_new, info_new, est_new, age_new, epoch)
+    return NdtMap(fp_new, count_new, mean_new, m2_new, info_new, est_new, age_new, epoch)
 
 
 # 7-voxel stencil of the reference NDT (incremental_ndt.h:130-137)
@@ -197,21 +207,41 @@ NDT_STENCIL = jnp.asarray(
 )
 
 
-@functools.partial(jax.jit, static_argnames=("num_probes",))
-def query_stencil(m: NdtMap, queries: jax.Array, inv_voxel_size, num_probes: int = 8):
+@functools.partial(jax.jit, static_argnames=("num_probes", "group_capacity"))
+def query_stencil(m: NdtMap, queries: jax.Array, inv_voxel_size,
+                  num_probes: int = 8, group_capacity: int | None = None):
     """Gather the 7-neighborhood Gaussians for each query point.
+
+    Deduplicated like voxel_hash.query_knn: the stencil probe runs once per
+    unique query voxel (at most `group_capacity` groups), then each point
+    gathers its group's candidate row.
 
     Returns (mean [N,7,3], info [N,7,3,3], valid [N,7]).
     """
-    qc = voxel_coords(queries, inv_voxel_size)
-    cand = qc[:, None, :] + NDT_STENCIL[None, :, :]  # [N, 7, 3]
-    base = spatial_hash(cand, m.capacity)
-    offs = jnp.arange(num_probes, dtype=jnp.int32)
-    slots = (base[..., None] + offs) & (m.capacity - 1)  # [N, 7, P]
-    match = jnp.all(m.coords[slots] == cand[..., None, :], axis=-1) & m.occupied[slots]
+    n = queries.shape[0]
+    gcap = group_capacity if group_capacity is not None else max(n // 4, 256)
+    g = group_by_voxel(queries, jnp.ones(n, bool), inv_voxel_size)
+    rep_tgt = jnp.where((g.rank == 0) & (g.group_id < gcap), g.group_id, gcap)
+    uniq = jnp.zeros((gcap, 3), jnp.int32).at[rep_tgt].set(g.group_coords, mode="drop")
+
+    cand = uniq[:, None, :] + NDT_STENCIL[None, :, :]  # [G, 7, 3]
+    slots, match, _ = _probe(m, cand, num_probes)  # [G, 7, P]
     found = jnp.any(match, axis=-1)
     first = jnp.argmax(match, axis=-1)
     slot = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]
     slot_safe = jnp.maximum(jnp.where(found, slot, 0), 0)
-    valid = found & m.estimated[slot_safe]
-    return m.mean[slot_safe], m.info[slot_safe], valid
+    g_valid = found & m.estimated[slot_safe]  # [G, 7]
+    g_mean = m.mean[slot_safe]  # [G, 7, 3]
+    g_info = m.info[slot_safe]  # [G, 7, 3, 3]
+
+    gid = jnp.minimum(g.group_id, gcap - 1)
+    in_range = g.group_id < gcap
+    mean_s = g_mean[gid]
+    info_s = g_info[gid]
+    valid_s = g_valid[gid] & in_range[:, None]
+
+    # scatter back to original query order via the sort permutation
+    mean = jnp.zeros((n, 7, 3), queries.dtype).at[g.order].set(mean_s)
+    info = jnp.zeros((n, 7, 3, 3), queries.dtype).at[g.order].set(info_s)
+    valid = jnp.zeros((n, 7), bool).at[g.order].set(valid_s)
+    return mean, info, valid

@@ -52,11 +52,38 @@ STENCILS = {
 }
 
 
+# second independent hash for the per-slot fingerprint (0 = empty slot)
+_F1 = jnp.uint32(2654435761)
+_F2 = jnp.uint32(805459861)
+_F3 = jnp.uint32(3674653429)
+
+
+def fingerprint(coords: jax.Array) -> jax.Array:
+    """Nonzero 32-bit voxel fingerprint (probing compares ONE gathered u32
+    per probe instead of 3 coords + occupancy — gathers on TPU pay per row,
+    so this is the probe-bandwidth optimization). A fingerprint collision
+    within one probe window (~2^-32 per lookup) merely adds a few wrong
+    candidate points that the distance gates then reject.
+
+    The combine must avalanche: a plain multiply-XOR of the three coords
+    (the reference's hash_function.h scheme) collides for ~1/3 of small
+    +/-coordinate pairs (e.g. (3,-1,1) vs (-3,-1,-1)), so the sum is passed
+    through the murmur3 fmix32 finalizer."""
+    c = coords.astype(jnp.uint32)
+    h = c[..., 0] * _F1 + c[..., 1] * _F2 + c[..., 2] * _F3
+    # murmur3 fmix32
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> jnp.uint32(13))
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> jnp.uint32(16))
+    return h | jnp.uint32(1)
+
+
 class VoxelHashMap(NamedTuple):
     """Functional voxel-hash map state (all arrays device-resident)."""
 
-    coords: jax.Array  # [C, 3] int32 voxel coords of each slot
-    occupied: jax.Array  # [C] bool
+    fp: jax.Array  # [C] uint32 voxel fingerprint of each slot (0 = empty)
     count: jax.Array  # [C] int32 valid points in bucket (<= S)
     points: jax.Array  # [C, S, 3] f32 bucket points (world frame)
     age: jax.Array  # [C] int32 epoch of last touch
@@ -65,18 +92,21 @@ class VoxelHashMap(NamedTuple):
     # static config (kept as aux fields via property helpers)
     @property
     def capacity(self) -> int:
-        return self.coords.shape[0]
+        return self.fp.shape[0]
 
     @property
     def bucket_size(self) -> int:
         return self.points.shape[1]
 
+    @property
+    def occupied(self) -> jax.Array:
+        return self.fp != 0
+
 
 def create(capacity: int, bucket_size: int, dtype=jnp.float32) -> VoxelHashMap:
     assert capacity & (capacity - 1) == 0, "capacity must be a power of 2"
     return VoxelHashMap(
-        coords=jnp.zeros((capacity, 3), jnp.int32),
-        occupied=jnp.zeros(capacity, bool),
+        fp=jnp.zeros(capacity, jnp.uint32),
         count=jnp.zeros(capacity, jnp.int32),
         points=jnp.zeros((capacity, bucket_size, 3), dtype),
         age=jnp.zeros(capacity, jnp.int32),
@@ -86,13 +116,18 @@ def create(capacity: int, bucket_size: int, dtype=jnp.float32) -> VoxelHashMap:
 
 def _probe_slots(m: VoxelHashMap, coords: jax.Array, num_probes: int):
     """For voxel coords [..., 3], return ([..., P] candidate slots,
-    [..., P] key-match mask, [..., P] empty mask) under linear probing."""
+    [..., P] key-match mask, [..., P] empty mask) under DOUBLE hashing
+    (per-key odd stride) — same gather volume as linear probing but without
+    primary clustering, so 4 probes suffice at the load factors the matchers
+    run at. One u32 fingerprint gather serves both match and empty tests."""
     base = spatial_hash(coords, m.capacity)
+    fp = fingerprint(coords)
+    step = ((fp >> jnp.uint32(16)).astype(jnp.int32) | 1)  # odd: full cycle
     offs = jnp.arange(num_probes, dtype=jnp.int32)
-    slots = (base[..., None] + offs) & (m.capacity - 1)
-    slot_coords = m.coords[slots]  # [..., P, 3]
-    match = jnp.all(slot_coords == coords[..., None, :], axis=-1) & m.occupied[slots]
-    empty = ~m.occupied[slots]
+    slots = (base[..., None] + offs * step[..., None]) & (m.capacity - 1)
+    slot_fp = m.fp[slots]  # [..., P] single gather
+    match = slot_fp == fp[..., None]
+    empty = slot_fp == 0
     return slots, match, empty
 
 
@@ -145,7 +180,7 @@ def insert(
 
     slots, match, empty = _probe_slots(m, rep_coords, num_probes)
     if max_age > 0:
-        expired = m.occupied[slots] & ((epoch - m.age[slots]) > max_age)
+        expired = ~empty & ((epoch - m.age[slots]) > max_age)
         empty = empty | expired
 
     has_match = jnp.any(match, axis=-1)
@@ -175,8 +210,7 @@ def insert(
     fresh = (assigned >= 0) & ~has_match & rep_valid
     upd = (assigned >= 0) & rep_valid
     tgt = jnp.where(upd, assigned, cap)
-    coords_new = m.coords.at[tgt].set(rep_coords, mode="drop")
-    occupied_new = m.occupied.at[tgt].set(True, mode="drop")
+    fp_new = m.fp.at[tgt].set(fingerprint(rep_coords), mode="drop")
     age_new = m.age.at[tgt].set(epoch, mode="drop")
     count_base = m.count.at[jnp.where(fresh, assigned, cap)].set(0, mode="drop")
     points_base = m.points
@@ -225,7 +259,7 @@ def insert(
     )[:cap]
     count_new = jnp.minimum(count_base + ins, s)
 
-    return VoxelHashMap(coords_new, occupied_new, count_new, points_new, age_new, epoch)
+    return VoxelHashMap(fp_new, count_new, points_new, age_new, epoch)
 
 
 def build(
@@ -241,7 +275,9 @@ def build(
     return insert(m, points, mask, inv_voxel_size, num_probes=num_probes)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "stencil", "num_probes"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "stencil", "num_probes", "group_capacity")
+)
 def query_knn(
     m: VoxelHashMap,
     queries: jax.Array,
@@ -249,38 +285,72 @@ def query_knn(
     k: int = 5,
     stencil: str = "nearby18",
     num_probes: int = 8,
+    group_capacity: int | None = None,
 ):
-    """Batched k-nearest-neighbors via stencil gather + top-k.
+    """Batched k-nearest-neighbors via deduplicated stencil gather + top-k.
 
-    Equivalent of IVoxMap::GetClosestPoint (src/ivox_map/ivox_map.cpp:6-37):
-    gather all bucket points of the stencil voxels around each query and take
-    the k smallest distances.
+    Equivalent of IVoxMap::GetClosestPoint (src/ivox_map/ivox_map.cpp:6-37).
+
+    TPU cost model note: XLA gathers pay per ROW, not per byte, so the naive
+    per-point probe ([N, V, P] tiny gathers) is ~10x slower than necessary.
+    Queries sharing a voxel share the exact same stencil candidates, so the
+    lookup is done once per UNIQUE query voxel (sort-based grouping, at most
+    `group_capacity` groups) and the per-point step only gathers one wide
+    [V*S, 3] candidate row per point. Points in groups beyond
+    `group_capacity` (pathological scans) safely report no neighbors.
 
     Returns (neighbors [N,k,3], sq_dists [N,k], valid [N,k]).
     """
+    from ..ops.voxel import group_by_voxel
+
+    n = queries.shape[0]
+    gcap = group_capacity if group_capacity is not None else max(n // 4, 256)
     offsets = jnp.asarray(STENCILS[stencil], jnp.int32)  # [V, 3]
-    qc = voxel_coords(queries, inv_voxel_size)  # [N, 3]
-    cand = qc[:, None, :] + offsets[None, :, :]  # [N, V, 3]
-    slot = find_slots(m, cand, num_probes)  # [N, V]
-    slot_safe = jnp.maximum(slot, 0)
-
-    pts = m.points[slot_safe]  # [N, V, S, 3]
-    cnt = jnp.where(slot >= 0, m.count[slot_safe], 0)  # [N, V]
+    v = offsets.shape[0]
     s = m.bucket_size
-    valid = jnp.arange(s)[None, None, :] < cnt[:, :, None]  # [N, V, S]
 
-    diff = pts - queries[:, None, None, :]
-    d2 = jnp.sum(diff * diff, axis=-1)  # [N, V, S]
-    d2 = jnp.where(valid, d2, jnp.inf)
+    g = group_by_voxel(queries, jnp.ones(n, bool), inv_voxel_size)
 
-    nv = offsets.shape[0] * s
-    d2f = d2.reshape(-1, nv)
-    neg, idx = jax.lax.top_k(-d2f, k)  # smallest distances
-    knn_d2 = -neg
-    flat_pts = pts.reshape(-1, nv, 3)
-    nbrs = jnp.take_along_axis(flat_pts, idx[..., None], axis=1)
+    # one representative voxel coord per group
+    rep_tgt = jnp.where((g.rank == 0) & (g.group_id < gcap), g.group_id, gcap)
+    uniq = jnp.zeros((gcap, 3), jnp.int32).at[rep_tgt].set(
+        g.group_coords, mode="drop"
+    )
+
+    # per-group stencil probe + bucket gather (wide rows)
+    cand = uniq[:, None, :] + offsets[None, :, :]  # [G, V, 3]
+    slot = find_slots(m, cand, num_probes)  # [G, V]
+    slot_safe = jnp.maximum(slot, 0)
+    bpts = m.points[slot_safe]  # [G, V, S, 3]
+    bcnt = jnp.where(slot >= 0, m.count[slot_safe], 0)  # [G, V]
+    bvalid = jnp.arange(s)[None, None, :] < bcnt[:, :, None]  # [G, V, S]
+    flat_pts = bpts.reshape(gcap, v * s, 3)
+    flat_valid = bvalid.reshape(gcap, v * s)
+
+    # per-point candidate set: one wide row gather via the group id
+    gid = jnp.minimum(g.group_id, gcap - 1)
+    in_range = g.group_id < gcap
+    cand_pts = flat_pts[gid]  # [N, V*S, 3]
+    cand_valid = flat_valid[gid] & in_range[:, None]
+
+    diff = cand_pts - g.sorted_pts[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)  # [N, V*S]
+    d2 = jnp.where(cand_valid, d2, jnp.inf)
+
+    if k == 1:
+        idx = jnp.argmin(d2, axis=1)[:, None]
+        knn_d2 = jnp.take_along_axis(d2, idx, axis=1)
+    else:
+        neg, idx = jax.lax.top_k(-d2, k)  # smallest distances
+        knn_d2 = -neg
+    nbrs = jnp.take_along_axis(cand_pts, idx[..., None], axis=1)
     ok = jnp.isfinite(knn_d2)
-    return nbrs, knn_d2, ok
+
+    # scatter back to the original query order
+    nbrs_out = jnp.zeros((n, k, 3), queries.dtype).at[g.order].set(nbrs)
+    d2_out = jnp.full((n, k), jnp.inf, knn_d2.dtype).at[g.order].set(knn_d2)
+    ok_out = jnp.zeros((n, k), bool).at[g.order].set(ok)
+    return nbrs_out, d2_out, ok_out
 
 
 def num_occupied(m: VoxelHashMap) -> jax.Array:

@@ -233,16 +233,17 @@ class SlamSystem:
         `split`, also write 100 m tile maps + index (SplitMap::Split)."""
         import os
 
-        from ..io.pcd import voxel_downsample_np, write_pcd
+        from ..io.pcd import write_pcd
         from ..maps.split_map import save_tiles
+        from ..native import voxel_downsample as host_voxel
 
         os.makedirs(map_dir, exist_ok=True)
         merged = []
         for kf in self.keyframes.frames:
-            c = voxel_downsample_np(kf.cloud, voxel_size)
+            c = host_voxel(kf.cloud, voxel_size)
             merged.append(c @ kf.pose[:3, :3].T + kf.pose[:3, 3])
         cloud = (
-            voxel_downsample_np(np.concatenate(merged), voxel_size)
+            host_voxel(np.concatenate(merged), voxel_size)
             if merged else np.zeros((0, 3), np.float32)
         )
         path = os.path.join(map_dir, "map.pcd")

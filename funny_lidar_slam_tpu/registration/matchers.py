@@ -87,6 +87,7 @@ def window_add(
     map_filter_size,
     nn_inv_voxel,
     merged_capacity,
+    num_probes: int = 8,
 ):
     """Push a world-frame cloud and rebuild the hash map from the merged,
     voxel-filtered window (the kdtree-rebuild equivalent)."""
@@ -97,7 +98,8 @@ def window_add(
     merged_mask = window_mask.reshape(-1)
     ds = voxel_downsample(merged_pts, merged_mask, map_filter_size, merged_capacity)
     m = voxel_hash.build(
-        s.m.capacity, s.m.bucket_size, ds.points, ds.mask, nn_inv_voxel
+        s.m.capacity, s.m.bucket_size, ds.points, ds.mask, nn_inv_voxel,
+        num_probes=num_probes,
     )
     return WindowMapState(
         m=m,
@@ -132,6 +134,7 @@ class IcpConfig(NamedTuple):
     bucket_size: int = 8
     nn_voxel_size: float = 1.0
     stencil: str = "nearby26"
+    num_probes: int = 4
     is_localization_mode: bool = False
 
 
@@ -166,7 +169,7 @@ class IcpMatcher:
         def hg_fn(t_mat):
             return point_to_point_hg(
                 t_mat, src.points, src.mask, s.m, inv,
-                c.max_correspond_distance**2, c.stencil,
+                c.max_correspond_distance**2, c.stencil, c.num_probes,
             )
 
         res = run_gn(hg_fn, t_init, self.gn_cfg)
@@ -180,7 +183,8 @@ class IcpMatcher:
 
         def add(s):
             world = transform_cloud(res.t_mat, src)
-            return window_add(s, world, res.t_mat, c.map_filter_size, inv, c.merged_capacity)
+            return window_add(s, world, res.t_mat, c.map_filter_size, inv,
+                              c.merged_capacity, c.num_probes)
 
         s = jax.lax.cond(do_add, add, lambda s: s, s)
         return s, res
@@ -192,14 +196,16 @@ class IcpMatcher:
         c = self.cfg
         src = self._source(cloud)
         world = transform_cloud(t_mat, src)
-        return window_add(s, world, t_mat, c.map_filter_size, 1.0 / c.nn_voxel_size, c.merged_capacity)
+        return window_add(s, world, t_mat, c.map_filter_size, 1.0 / c.nn_voxel_size,
+                          c.merged_capacity, c.num_probes)
 
     def fitness(self, s: WindowMapState, cloud: Cloud, t_mat, max_range=1.0):
         t_mat = jnp.asarray(t_mat, self.dtype)
         c = self.cfg
         src = self._source(cloud)
         return fitness_score(
-            t_mat, src.points, src.mask, s.m, 1.0 / c.nn_voxel_size, max_range**2, c.stencil
+            t_mat, src.points, src.mask, s.m, 1.0 / c.nn_voxel_size, max_range**2,
+            c.stencil, c.num_probes,
         )
 
     def set_map(self, s: WindowMapState, map_cloud: Cloud) -> WindowMapState:
@@ -209,7 +215,7 @@ class IcpMatcher:
         c = self.cfg
         m = voxel_hash.build(
             c.map_capacity, c.bucket_size, map_cloud.points, map_cloud.mask,
-            1.0 / c.nn_voxel_size,
+            1.0 / c.nn_voxel_size, num_probes=c.num_probes,
         )
         return s._replace(m=m)
 
@@ -234,6 +240,7 @@ class PointToPlaneConfig(NamedTuple):
     ivox_voxel_size: float = 0.5
     ivox_max_age: int = 0  # 0 = no eviction
     stencil: str = "nearby18"
+    num_probes: int = 4
     max_search_dist: float = 5.0
     source_capacity: int = 16384
     cloud_capacity: int = 16384
@@ -295,6 +302,7 @@ class PointToPlaneMatcher:
             return point_to_plane_hg(
                 t_mat, planar.points, planar.mask, m, self.inv,
                 c.point_to_planar_thresh, c.max_search_dist**2, c.stencil,
+                c.num_probes,
             )
 
         res = run_gn(hg_fn, t_init, self.gn_cfg)
@@ -312,7 +320,8 @@ class PointToPlaneMatcher:
 
             def add(ws):
                 world = transform_cloud(res.t_mat, planar)
-                return window_add(ws, world, res.t_mat, c.map_filter_size, self.inv, c.merged_capacity)
+                return window_add(ws, world, res.t_mat, c.map_filter_size, self.inv,
+                                  c.merged_capacity, c.num_probes)
 
             return P2PlaneWindowState(jax.lax.cond(do_add, add, lambda x: x, s.w)), res
 
@@ -321,7 +330,7 @@ class PointToPlaneMatcher:
             world = transform_cloud(res.t_mat, planar)
             m2 = voxel_hash.insert(
                 st.m, world.points, world.mask, self.inv,
-                max_age=c.ivox_max_age, center_policy=True,
+                num_probes=c.num_probes, max_age=c.ivox_max_age, center_policy=True,
             )
             return P2PlaneIvoxState(m2, res.t_mat)
 
@@ -334,11 +343,12 @@ class PointToPlaneMatcher:
         world = transform_cloud(t_mat, planar)
         if isinstance(s, P2PlaneWindowState):
             return P2PlaneWindowState(
-                window_add(s.w, world, t_mat, c.map_filter_size, self.inv, c.merged_capacity)
+                window_add(s.w, world, t_mat, c.map_filter_size, self.inv,
+                           c.merged_capacity, c.num_probes)
             )
         m2 = voxel_hash.insert(
             s.m, world.points, world.mask, self.inv,
-            max_age=c.ivox_max_age, center_policy=True,
+            num_probes=c.num_probes, max_age=c.ivox_max_age, center_policy=True,
         )
         return P2PlaneIvoxState(m2, t_mat)
 
@@ -346,7 +356,7 @@ class PointToPlaneMatcher:
         t_mat = jnp.asarray(t_mat, self.dtype)
         return fitness_score(
             t_mat, planar.points, planar.mask, self._map(s), self.inv,
-            max_range**2, self.cfg.stencil,
+            max_range**2, self.cfg.stencil, self.cfg.num_probes,
         )
 
     def set_map(self, s, map_cloud: Cloud):
@@ -354,13 +364,14 @@ class PointToPlaneMatcher:
         c = self.cfg
         if isinstance(s, P2PlaneWindowState):
             m = voxel_hash.build(
-                c.map_capacity, c.bucket_size, map_cloud.points, map_cloud.mask, self.inv
+                c.map_capacity, c.bucket_size, map_cloud.points, map_cloud.mask,
+                self.inv, num_probes=c.num_probes,
             )
             return P2PlaneWindowState(s.w._replace(m=m))
         fresh = voxel_hash.create(c.map_capacity, c.bucket_size, self.dtype)
         m = voxel_hash.insert(
             fresh, map_cloud.points, map_cloud.mask, self.inv,
-            max_age=0, center_policy=True,
+            num_probes=c.num_probes, max_age=0, center_policy=True,
         )
         return P2PlaneIvoxState(m, s.last_added)
 
@@ -386,6 +397,7 @@ class LoamFullConfig(NamedTuple):
     min_valid_planar: int = 50
     nn_voxel_size: float = 1.0
     stencil: str = "nearby26"
+    num_probes: int = 4
     corner_capacity: int = 4096
     planar_capacity: int = 16384
     merged_capacity: int = 131072
@@ -427,11 +439,11 @@ class LoamFullMatcher:
         def hg_fn(t_mat):
             hg_c = point_to_line_hg(
                 t_mat, corner.points, corner.mask, s.corner.m, self.inv,
-                c.line_ratio_thresh, thr2, c.stencil,
+                c.line_ratio_thresh, thr2, c.stencil, c.num_probes,
             )
             hg_p = point_to_plane_hg(
                 t_mat, planar.points, planar.mask, s.planar.m, self.inv,
-                c.point_to_planar_thresh, thr2, c.stencil,
+                c.point_to_planar_thresh, thr2, c.stencil, c.num_probes,
             )
             return merge_hg(hg_c, hg_p)
 
@@ -452,8 +464,10 @@ class LoamFullMatcher:
             cw = transform_cloud(res.t_mat, corner)
             pw = transform_cloud(res.t_mat, planar)
             return LoamFullState(
-                corner=window_add(st.corner, cw, res.t_mat, c.corner_filter_size, self.inv, c.merged_capacity),
-                planar=window_add(st.planar, pw, res.t_mat, c.planar_filter_size, self.inv, c.merged_capacity),
+                corner=window_add(st.corner, cw, res.t_mat, c.corner_filter_size,
+                                  self.inv, c.merged_capacity, c.num_probes),
+                planar=window_add(st.planar, pw, res.t_mat, c.planar_filter_size,
+                                  self.inv, c.merged_capacity, c.num_probes),
             )
 
         s = jax.lax.cond(do_add, add, lambda x: x, s)
@@ -465,15 +479,17 @@ class LoamFullMatcher:
         cw = transform_cloud(t_mat, corner)
         pw = transform_cloud(t_mat, planar)
         return LoamFullState(
-            corner=window_add(s.corner, cw, t_mat, c.corner_filter_size, self.inv, c.merged_capacity),
-            planar=window_add(s.planar, pw, t_mat, c.planar_filter_size, self.inv, c.merged_capacity),
+            corner=window_add(s.corner, cw, t_mat, c.corner_filter_size, self.inv,
+                              c.merged_capacity, c.num_probes),
+            planar=window_add(s.planar, pw, t_mat, c.planar_filter_size, self.inv,
+                              c.merged_capacity, c.num_probes),
         )
 
     def fitness(self, s: LoamFullState, planar: Cloud, t_mat, max_range=1.0):
         t_mat = jnp.asarray(t_mat, self.dtype)
         return fitness_score(
             t_mat, planar.points, planar.mask, s.planar.m, self.inv,
-            max_range**2, self.cfg.stencil,
+            max_range**2, self.cfg.stencil, self.cfg.num_probes,
         )
 
     def set_map(self, s: LoamFullState, map_cloud: Cloud) -> LoamFullState:
@@ -482,7 +498,8 @@ class LoamFullMatcher:
         (Localization::LoadLocalMap)."""
         c = self.cfg
         m = voxel_hash.build(
-            c.map_capacity, c.bucket_size, map_cloud.points, map_cloud.mask, self.inv
+            c.map_capacity, c.bucket_size, map_cloud.points, map_cloud.mask,
+            self.inv, num_probes=c.num_probes,
         )
         return LoamFullState(
             corner=s.corner._replace(m=m), planar=s.planar._replace(m=m)

@@ -73,6 +73,7 @@ def point_to_point_hg(
     inv_voxel_size,
     max_corr_dist_sq,
     stencil: str = "nearby26",
+    num_probes: int = 8,
 ) -> HG:
     """Optimized-ICP residual (icp_optimized.h:78-116).
 
@@ -81,7 +82,9 @@ def point_to_point_hg(
     """
     r_mat = t_mat[:3, :3]
     p_t = transform_points(t_mat, src)
-    nbrs, d2, ok = voxel_hash.query_knn(m, p_t, inv_voxel_size, k=1, stencil=stencil)
+    nbrs, d2, ok = voxel_hash.query_knn(
+        m, p_t, inv_voxel_size, k=1, stencil=stencil, num_probes=num_probes
+    )
     q = nbrs[:, 0]
     valid = src_mask & ok[:, 0] & (d2[:, 0] <= max_corr_dist_sq)
 
@@ -131,6 +134,7 @@ def point_to_plane_hg(
     plane_thresh,
     max_search_dist_sq,
     stencil: str = "nearby26",
+    num_probes: int = 8,
 ) -> HG:
     """LOAM point-to-plane residual (loam_point_to_plane_kdtree.h:204-272).
 
@@ -139,7 +143,9 @@ def point_to_plane_hg(
     """
     r_mat = t_mat[:3, :3]
     p_t = transform_points(t_mat, src)
-    nbrs, d2, ok = voxel_hash.query_knn(m, p_t, inv_voxel_size, k=5, stencil=stencil)
+    nbrs, d2, ok = voxel_hash.query_knn(
+        m, p_t, inv_voxel_size, k=5, stencil=stencil, num_probes=num_probes
+    )
     # reference gates on the 5th NN distance (loam_*_kdtree.h dist[4])
     ok = ok & (d2 <= max_search_dist_sq)
     normal, q0, fit_ok = fit_plane_5nn(nbrs, ok, plane_thresh)
@@ -166,6 +172,7 @@ def point_to_line_hg(
     line_ratio_thresh,
     max_search_dist_sq,
     stencil: str = "nearby26",
+    num_probes: int = 8,
 ) -> HG:
     """LOAM point-to-line (corner) residual (loam_full_kdtree.h:211-273).
 
@@ -176,7 +183,9 @@ def point_to_line_hg(
     """
     r_mat = t_mat[:3, :3]
     p_t = transform_points(t_mat, src)
-    nbrs, d2, ok = voxel_hash.query_knn(m, p_t, inv_voxel_size, k=5, stencil=stencil)
+    nbrs, d2, ok = voxel_hash.query_knn(
+        m, p_t, inv_voxel_size, k=5, stencil=stencil, num_probes=num_probes
+    )
     all_ok = jnp.all(ok & (d2 <= max_search_dist_sq), axis=-1)
 
     w = ok.astype(src.dtype)[..., None]
@@ -254,6 +263,7 @@ def fitness_score(
     inv_voxel_size,
     max_range_sq,
     stencil: str = "nearby26",
+    num_probes: int = 8,
 ) -> jax.Array:
     """Mean squared NN distance of inlier correspondences
     (RegistrationInterface::GetFitnessScore, e.g. icp_optimized.h:195-221).
@@ -261,7 +271,9 @@ def fitness_score(
     Note the reference accumulates *squared* kdtree distances; same here.
     """
     p_t = transform_points(t_mat, src)
-    _, d2, ok = voxel_hash.query_knn(m, p_t, inv_voxel_size, k=1, stencil=stencil)
+    _, d2, ok = voxel_hash.query_knn(
+        m, p_t, inv_voxel_size, k=1, stencil=stencil, num_probes=num_probes
+    )
     good = src_mask & ok[:, 0] & (d2[:, 0] <= max_range_sq)
     n = jnp.sum(good, dtype=jnp.int32)
     s = jnp.sum(jnp.where(good, d2[:, 0], 0.0))
