@@ -41,6 +41,8 @@ class LoopClosureConfig:
     candidate_right: int = 20
     current_left: int = 30
     fitness_threshold: float = 1.5  # config registration_converge_threshold
+    fitness_max_range: float = 2.0  # GICP max correspondence (loop_closure.cpp:262)
+    nn_voxel_size: float = 1.0
     submap_filter_size: float = 0.2  # loop_closure.cpp GetSubMap voxel
     submap_capacity: int = 65536
     source_capacity: int = 16384
@@ -90,8 +92,15 @@ def _merge_submap(frames, ids, poses, local_frame_of: int | None, cfg: LoopClosu
         pts.append(c @ t[:3, :3].T + t[:3, 3])
     merged = np.concatenate(pts).astype(np.float32)
     if len(merged) > cfg.submap_capacity:
-        sel = np.random.default_rng(0).choice(len(merged), cfg.submap_capacity, replace=False)
-        merged = merged[sel]
+        # keep GetSubMap's pure voxel-filter semantics (loop_closure.cpp:179-231):
+        # pre-filter at the submap voxel size on host until it fits (never a
+        # random subsample, which would bias the NDT statistics)
+        from ..native import voxel_downsample as host_voxel
+
+        size = cfg.submap_filter_size
+        while len(merged) > cfg.submap_capacity:
+            merged = host_voxel(merged, size).astype(np.float32)
+            size *= 1.5
     return merged
 
 
@@ -127,12 +136,16 @@ def verify_candidate(
     t_init = jnp.asarray(poses[current_id], jnp.float32)
 
     # shared fine map for fitness evaluation + final refine
+    nn_inv = 1.0 / cfg.nn_voxel_size
     mp = voxel_hash.build(
-        cfg.map_capacity, cfg.bucket_size, tgt.points, tgt.mask, 1.0
+        cfg.map_capacity, cfg.bucket_size, tgt.points, tgt.mask, nn_inv
     )
 
     def fit_of(t):
-        return float(fitness_score(t, src.points, src.mask, mp, 1.0, max_range_sq=4.0))
+        return float(fitness_score(
+            t, src.points, src.mask, mp, nn_inv,
+            max_range_sq=cfg.fitness_max_range**2,
+        ))
 
     # coarse-to-fine NDT; unlike the reference's open-loop cascade
     # (loop_closure.cpp:242-257), each stage result is accepted only if it
@@ -158,7 +171,8 @@ def verify_candidate(
     gn = GNConfig(max_iters=cfg.refine_iterations, rotation_eps=1e-4,
                   position_eps=1e-4, update=UPDATE_LOAM, use_stall_check=True)
     r = run_gn(
-        lambda t: point_to_plane_hg(t, src.points, src.mask, mp, 1.0, 0.3, 4.0),
+        lambda t: point_to_plane_hg(t, src.points, src.mask, mp, nn_inv, 0.3,
+                                    cfg.fitness_max_range**2),
         best_t, gn,
     )
     f = fit_of(r.t_mat)

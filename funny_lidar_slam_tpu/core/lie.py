@@ -394,9 +394,17 @@ def marginalize(h: jax.Array, start: int, end: int, sv_thresh: float = 1e-6) -> 
     h_mk = hp[..., k:, :k]
     h_mm = hp[..., k:, k:]
 
-    u, s, vt = jnp.linalg.svd(h_mm, hermitian=False)
+    # Jacobi-scale the marginalized block before the SVD pseudo-inverse:
+    # information magnitudes span ~1e2..1e12, and an f32 SVD of the raw block
+    # loses the small directions entirely (the reference runs this in f64,
+    # math_function.h:395-470). The scaled threshold is relative, which is
+    # what the absolute 1e-6 threshold means for a well-scaled double matrix.
+    d_inv = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(h_mm, axis1=-2, axis2=-1), 1e-24))
+    h_mm_s = h_mm * d_inv[..., :, None] * d_inv[..., None, :]
+    u, s, vt = jnp.linalg.svd(h_mm_s, hermitian=False)
     s_inv = jnp.where(s > sv_thresh, 1.0 / jnp.maximum(s, sv_thresh), 0.0)
-    h_mm_pinv = jnp.swapaxes(vt, -1, -2) @ (s_inv[..., :, None] * jnp.swapaxes(u, -1, -2))
+    pinv_s = jnp.swapaxes(vt, -1, -2) @ (s_inv[..., :, None] * jnp.swapaxes(u, -1, -2))
+    h_mm_pinv = pinv_s * d_inv[..., :, None] * d_inv[..., None, :]
 
     h_marg = h_kk - h_km @ h_mm_pinv @ h_mk
 

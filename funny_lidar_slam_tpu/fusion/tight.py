@@ -225,24 +225,53 @@ def fuse(
         bg_j=last.bg, ba_j=last.ba,
     )
 
-    def gn_step(_, s: FusionStates) -> FusionStates:
+    def _assemble(s: FusionStates):
         h = jnp.zeros((30, 30), dtype)
         b = jnp.zeros(30, dtype)
+        cost = jnp.zeros((), dtype)
         for err, blocks, lam in _all_factors(s, last, pre, lidar_r, lidar_p, gravity, cfg, dtype):
             h, b = _accumulate(h, b, blocks, lam, err)
-        # GN: H dx = -b (b = J^T Λ e)
-        damp = 1e-8 * jnp.maximum(jnp.trace(h) / 30.0, 1.0)
-        dx = jnp.linalg.solve(h + damp * jnp.eye(30, dtype=dtype), -b)
-        return _apply_dx(s, dx)
+            cost = cost + err @ (lam @ err)
+        return 0.5 * (h + h.T), b, cost
 
-    s = jax.lax.fori_loop(0, cfg.iterations, gn_step, s0)
+    # Levenberg-Marquardt, like the reference's g2o optimizer
+    # (frontend.cpp:375-376 runs OptimizationAlgorithmLevenberg): pure GN is
+    # NOT safe here — the f32 Schur-marginalized prior can be slightly
+    # indefinite (eigenvalues ~ -1e-7 after Jacobi scaling), and a GN
+    # iteration then runs away along the negative-curvature bias direction
+    # (observed |ba| -> hundreds within one frame). The accept/reject test
+    # keeps the cost monotone. H is Jacobi-preconditioned (D^-1/2 H D^-1/2)
+    # before the solve — the TPU-friendly alternative to g2o's f64.
+    def lm_step(carry, _):
+        s, lm_lambda, cost = carry
+        h, b, _ = _assemble(s)
+        d_inv = jax.lax.rsqrt(jnp.maximum(jnp.diag(h), 1e-12))
+        hs = h * d_inv[:, None] * d_inv[None, :]
+        dx = d_inv * jnp.linalg.solve(
+            hs + lm_lambda * jnp.eye(30, dtype=dtype), -(b * d_inv)
+        )
+        s_try = _apply_dx(s, dx)
+        _, _, cost_try = _assemble(s_try)
+        accept = cost_try < cost
+        s_new = jax.tree.map(lambda a, r: jnp.where(accept, a, r), s_try, s)
+        lam_new = jnp.where(accept, jnp.maximum(lm_lambda * 0.5, 1e-6),
+                            jnp.minimum(lm_lambda * 8.0, 1e2))
+        return (s_new, lam_new, jnp.where(accept, cost_try, cost)), None
+
+    _, _, cost0 = _assemble(s0)
+    (s, _, _), _ = jax.lax.scan(
+        lm_step, (s0, jnp.asarray(1e-4, dtype), cost0), None, length=cfg.iterations
+    )
 
     # posterior information at the optimum -> marginalize old state
-    h = jnp.zeros((30, 30), dtype)
-    b = jnp.zeros(30, dtype)
-    for err, blocks, lam in _all_factors(s, last, pre, lidar_r, lidar_p, gravity, cfg, dtype):
-        h, b = _accumulate(h, b, blocks, lam, err)
+    h, _, _ = _assemble(s)
     info_new = marginalize(h, 0, 14)[15:, 15:]
+    # an information matrix must be PSD; the f32 Schur complement can leave
+    # tiny negative eigenvalues that destabilize the NEXT frame's LM solve,
+    # so project back onto the PSD cone (15x15 eigh, negligible cost)
+    info_new = 0.5 * (info_new + info_new.T)
+    w, v = jnp.linalg.eigh(info_new)
+    info_new = (v * jnp.maximum(w, 0.0)) @ v.T
 
     return NavState(
         r=s.r_j, v=s.v_j, p=s.p_j, bg=s.bg_j, ba=s.ba_j,

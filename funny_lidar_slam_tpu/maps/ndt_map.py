@@ -30,11 +30,12 @@ import jax.numpy as jnp
 from ..ops.lin3 import inv3 as _inv3
 from ..ops.lin3 import sym3_eigvalsh
 from ..ops.voxel import group_by_voxel, spatial_hash, voxel_coords
-from .voxel_hash import fingerprint
+from .voxel_hash import PROBE_WINDOW, _window, fingerprint
 
 
 class NdtMap(NamedTuple):
     fp: jax.Array  # [C] uint32 voxel fingerprint (0 = empty slot)
+    fpwin: jax.Array  # [C, W] probe-window view (see voxel_hash.PROBE_WINDOW)
     count: jax.Array  # [C] f32 total points accumulated
     mean: jax.Array  # [C, 3]
     m2: jax.Array  # [C, 3, 3] sum of centered outer products
@@ -56,6 +57,7 @@ def create(capacity: int, dtype=jnp.float32) -> NdtMap:
     assert capacity & (capacity - 1) == 0
     return NdtMap(
         fp=jnp.zeros(capacity, jnp.uint32),
+        fpwin=jnp.zeros((capacity, PROBE_WINDOW), jnp.uint32),
         count=jnp.zeros(capacity, dtype),
         mean=jnp.zeros((capacity, 3), dtype),
         m2=jnp.zeros((capacity, 3, 3), dtype),
@@ -67,13 +69,14 @@ def create(capacity: int, dtype=jnp.float32) -> NdtMap:
 
 
 def _probe(m: NdtMap, coords: jax.Array, num_probes: int):
-    """Double-hashed fingerprint probing (same scheme as voxel_hash)."""
+    """Linear fingerprint probing (same scheme as voxel_hash._probe_slots):
+    one wide row gather of the precomputed fpwin view per candidate."""
+    assert num_probes <= PROBE_WINDOW
     base = spatial_hash(coords, m.capacity)
     fp = fingerprint(coords)
-    step = ((fp >> jnp.uint32(16)).astype(jnp.int32) | 1)
     offs = jnp.arange(num_probes, dtype=jnp.int32)
-    slots = (base[..., None] + offs * step[..., None]) & (m.capacity - 1)
-    slot_fp = m.fp[slots]
+    slots = (base[..., None] + offs) & (m.capacity - 1)
+    slot_fp = m.fpwin[base][..., :num_probes]
     return slots, slot_fp == fp[..., None], slot_fp == 0
 
 
@@ -197,7 +200,8 @@ def insert(
     info_new = m.info.at[tgt].set(info, mode="drop")
     est_new = m.estimated.at[tgt].set(estimated, mode="drop")
 
-    return NdtMap(fp_new, count_new, mean_new, m2_new, info_new, est_new, age_new, epoch)
+    return NdtMap(fp_new, _window(fp_new), count_new, mean_new, m2_new, info_new,
+                  est_new, age_new, epoch)
 
 
 # 7-voxel stencil of the reference NDT (incremental_ndt.h:130-137)
@@ -213,13 +217,14 @@ def query_stencil(m: NdtMap, queries: jax.Array, inv_voxel_size,
     """Gather the 7-neighborhood Gaussians for each query point.
 
     Deduplicated like voxel_hash.query_knn: the stencil probe runs once per
-    unique query voxel (at most `group_capacity` groups), then each point
-    gathers its group's candidate row.
+    unique query voxel (at most `group_capacity` groups, defaulting to N so
+    no group is ever silently dropped), then each point gathers its group's
+    candidate row.
 
     Returns (mean [N,7,3], info [N,7,3,3], valid [N,7]).
     """
     n = queries.shape[0]
-    gcap = group_capacity if group_capacity is not None else max(n // 4, 256)
+    gcap = group_capacity if group_capacity is not None else n
     g = group_by_voxel(queries, jnp.ones(n, bool), inv_voxel_size)
     rep_tgt = jnp.where((g.rank == 0) & (g.group_id < gcap), g.group_id, gcap)
     uniq = jnp.zeros((gcap, 3), jnp.int32).at[rep_tgt].set(g.group_coords, mode="drop")

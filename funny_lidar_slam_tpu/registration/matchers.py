@@ -134,7 +134,7 @@ class IcpConfig(NamedTuple):
     bucket_size: int = 8
     nn_voxel_size: float = 1.0
     stencil: str = "nearby26"
-    num_probes: int = 4
+    num_probes: int = 8
     is_localization_mode: bool = False
 
 
@@ -240,7 +240,7 @@ class PointToPlaneConfig(NamedTuple):
     ivox_voxel_size: float = 0.5
     ivox_max_age: int = 0  # 0 = no eviction
     stencil: str = "nearby18"
-    num_probes: int = 4
+    num_probes: int = 8
     max_search_dist: float = 5.0
     source_capacity: int = 16384
     cloud_capacity: int = 16384
@@ -397,7 +397,7 @@ class LoamFullConfig(NamedTuple):
     min_valid_planar: int = 50
     nn_voxel_size: float = 1.0
     stencil: str = "nearby26"
-    num_probes: int = 4
+    num_probes: int = 8
     corner_capacity: int = 4096
     planar_capacity: int = 16384
     merged_capacity: int = 131072
@@ -445,11 +445,12 @@ class LoamFullMatcher:
                 t_mat, planar.points, planar.mask, s.planar.m, self.inv,
                 c.point_to_planar_thresh, thr2, c.stencil, c.num_probes,
             )
-            return merge_hg(hg_c, hg_p)
+            # the reference's convergence gate counts PLANAR matches only
+            # (loam_full_kdtree.h:181-183), so the merged normal equations
+            # carry the planar-only count as num_valid
+            return merge_hg(hg_c, hg_p)._replace(num_valid=hg_p.num_valid)
 
         res = run_gn(hg_fn, t_init, self.gn_cfg)
-        # note: num_valid counts corner+planar; the reference gates on planar
-        # only — we approximate with the combined count (>=50)
         ok = res.num_valid >= c.min_valid_planar
         res = res._replace(converged=ok)
 

@@ -1,0 +1,161 @@
+"""Per-stage timing of the fused frontend step on the current default device.
+
+Answers VERDICT round-1 item 2 ("nobody knows where the 153 ms/scan goes"):
+times each device stage of the IcpOptimized + tight-coupling hot path in
+isolation (deskew, preintegration, KNN query, one full H/g evaluation, the
+whole GN solve, window-map rebuild, fused step), plus the host-side feed
+overhead. Prints a JSON table.
+
+Usage:  python tools/profile_frontend.py  [--trace /tmp/xprof]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def timeit(fn, *args, n=20, warmup=3):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", default=None, help="write a jax profiler trace here")
+    ap.add_argument("--points", type=int, default=16384)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from funny_lidar_slam_tpu.io.simulator import SimConfig, simulate
+    from funny_lidar_slam_tpu.lidar.deskew import deskew
+    from funny_lidar_slam_tpu.imu.preintegration import PreintParams, preintegrate
+    from funny_lidar_slam_tpu.maps import voxel_hash
+    from funny_lidar_slam_tpu.ops.voxel import voxel_downsample
+    from funny_lidar_slam_tpu.pipeline.frontend import FrontendConfig, FUSION_TIGHT_OPT, Frontend
+    from funny_lidar_slam_tpu.pipeline.system import (
+        SlamSystem, SystemConfig, pad_scan, to_device_segment,
+    )
+    from funny_lidar_slam_tpu.registration import matchers
+    from funny_lidar_slam_tpu.registration.gn import run_gn
+    from funny_lidar_slam_tpu.registration.residuals import point_to_point_hg
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", flush=True)
+
+    cap = args.points
+    ds = simulate(SimConfig(duration=4.5, points_per_scan=cap, seed=7))
+
+    mcfg = matchers.IcpConfig(
+        source_capacity=cap, cloud_capacity=cap, merged_capacity=65536,
+        map_capacity=65536, local_map_size=20,
+    )
+    cfg = SystemConfig(
+        registration_mode="IcpOptimized", matcher_config=mcfg,
+        frontend=FrontendConfig(fusion_method=FUSION_TIGHT_OPT), scan_capacity=cap,
+    )
+    slam = SlamSystem(cfg)
+
+    # warm up the pipeline on the first scans so we profile steady state
+    out = slam.run_dataset(ds, max_scans=len(ds.scans) - 2)
+    assert slam.fstate is not None, "pipeline did not initialize"
+
+    scan = ds.scans[len(ds.scans) - 4]
+    period = ds.scans[1].t - ds.scans[0].t
+    scan_end = scan.t + period
+    pts, rts, mask = pad_scan(scan.points, scan.rel_times, cap)
+    rts = rts - (scan_end - scan.t)
+    dseg = to_device_segment(slam.imu.get_segment(scan.t, scan_end, 32))
+    pseg = to_device_segment(slam.imu.get_segment(scan.t - period, scan_end, 32))
+
+    fe: Frontend = slam.frontend
+    mstate = slam.mstate
+    fstate = slam.fstate
+    ref_t = jnp.asarray(scan_end, jnp.float32)
+
+    timings = {}
+
+    # full fused step
+    timings["full_step"] = timeit(
+        lambda: fe.step(mstate, fstate, pts, rts, mask, scan_end, dseg, pseg))
+
+    # stages
+    t_l2i = fe.t_l2i
+    dk = jax.jit(lambda: deskew(pts, rts, mask, ref_t, dseg, t_l2i))
+    timings["deskew"] = timeit(dk)
+
+    params = PreintParams.from_std(0.01, 0.1, 1e-8, jnp.float32)
+    pre = jax.jit(lambda: preintegrate(pseg, params, fstate.nav.bg, fstate.nav.ba))
+    timings["preintegrate"] = timeit(pre)
+
+    src = voxel_downsample(pts, mask, mcfg.source_filter_size, mcfg.source_capacity)
+    timings["voxel_downsample_src"] = timeit(
+        jax.jit(lambda: voxel_downsample(pts, mask, mcfg.source_filter_size, mcfg.source_capacity)))
+
+    m = mstate.m
+    q = jax.jit(lambda: voxel_hash.query_knn(
+        m, src.points, 1.0 / mcfg.nn_voxel_size, k=1, stencil=mcfg.stencil,
+        num_probes=mcfg.num_probes))
+    timings["query_knn_k1"] = timeit(q)
+
+    q5 = jax.jit(lambda: voxel_hash.query_knn(
+        m, src.points, 1.0 / mcfg.nn_voxel_size, k=5, stencil="nearby18",
+        num_probes=mcfg.num_probes))
+    timings["query_knn_k5"] = timeit(q5)
+
+    t0 = fstate.nav.pose
+    hg = jax.jit(lambda: point_to_point_hg(
+        t0, src.points, src.mask, m, 1.0 / mcfg.nn_voxel_size,
+        mcfg.max_correspond_distance ** 2, mcfg.stencil, mcfg.num_probes))
+    timings["hg_point_to_point"] = timeit(hg)
+
+    gn = jax.jit(lambda: run_gn(
+        lambda t: point_to_point_hg(
+            t, src.points, src.mask, m, 1.0 / mcfg.nn_voxel_size,
+            mcfg.max_correspond_distance ** 2, mcfg.stencil, mcfg.num_probes),
+        t0, slam.matcher.gn_cfg))
+    r = gn()
+    timings["gn_full"] = timeit(gn)
+    iters = int(r.iters)
+
+    wa = jax.jit(lambda: matchers.window_add(
+        mstate, __import__("funny_lidar_slam_tpu.core.cloud", fromlist=["Cloud"]).Cloud(src.points, src.mask),
+        t0, mcfg.map_filter_size, 1.0 / mcfg.nn_voxel_size, mcfg.merged_capacity,
+        mcfg.num_probes))
+    timings["window_add_rebuild"] = timeit(wa, n=10)
+
+    # host feed overhead: pad + segment fetch
+    t0h = time.perf_counter()
+    for _ in range(50):
+        pad_scan(scan.points, scan.rel_times, cap)
+        slam.imu.get_segment(scan.t, scan_end, 32)
+    timings["host_prep"] = (time.perf_counter() - t0h) / 50
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            for _ in range(5):
+                out = fe.step(mstate, fstate, pts, rts, mask, scan_end, dseg, pseg)
+            jax.block_until_ready(out)
+        print(f"trace written to {args.trace}")
+
+    report = {k: round(v * 1e3, 3) for k, v in sorted(timings.items(), key=lambda kv: -kv[1])}
+    report["gn_iters_at_profile"] = iters
+    report["est_fps_full_step"] = round(1.0 / timings["full_step"], 2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
