@@ -1,19 +1,32 @@
 """Distributed pose-graph optimization over a device mesh.
 
 The reference's backend is a single-threaded g2o LM solve over the whole
-keyframe graph (LoopClosureOptimizer::Optimize, src/slam/system.cpp:709) —
+keyframe graph (LoopClosureOptimizer::Optimize, src/slam/system.cpp:709,
+g2o wrapper at src/optimization/g2o/loopclosure_optimizer.cpp:7-16) —
 nothing is distributed. This module is the multi-chip component SURVEY.md
-§2.6/§5.8 calls for: the padded edge list is sharded across the mesh axis,
-each chip assembles the normal-equation contribution of its edge shard
-(dense [6K, 6K] block scatter), and the full Hessian/gradient are combined
-with an ICI all-reduce (`psum`) inside `shard_map`. The damped Cholesky
-solve and the left-multiplicative SE(3) update run replicated so no
-per-iteration host sync occurs.
+§2.6/§5.8 and the north-star config 5 call for, designed TPU-first:
 
-Scaling note: compute per chip is O(E/P) for residuals/Jacobians and the
-communication is one [6K,6K] all-reduce per GN iteration — the same pattern
-(reduce-scatter in XLA's lowering) used for the distributed Hessian assembly
-in the north-star config.
+  * the EDGE set (the heavy data: measurements, information, and the
+    per-edge 6x6 Jacobian blocks) is sharded over the mesh axis; each chip
+    evaluates residuals/Jacobians for its own edges only — compute O(E/P);
+  * the Hessian is NEVER materialized densely. It exists as block-sparse
+    pieces: per-keyframe 6x6 diagonal blocks and per-edge off-diagonal
+    blocks that stay resident on the shard that owns the edge;
+  * the Newton system is solved with block-Jacobi-preconditioned CG:
+      - the diagonal blocks are combined with an ICI reduce-scatter
+        (`psum_scatter`) so each chip OWNS and inverts the preconditioner
+        blocks of its keyframe range (keyframes sharded),
+      - each CG matvec = local per-edge block products + one `psum` of the
+        [K, 6] vector (K*24 bytes — rides ICI, microseconds),
+      - the preconditioner apply is a local block solve + `all_gather`.
+    Per-iteration communication is O(K*6) instead of the O((6K)^2) a dense
+    all-reduce would ship: at K = 4096 that is 100 KB vs 2.4 GB.
+  * keyframe POSES are replicated on purpose: 4x4 f32 x K is 64 KB at
+    K = 1000 — cheaper to all-reduce than to halo-exchange, and the SE(3)
+    update is elementwise.
+
+Gauge freedom is handled like the reference (vertex 0 fixed,
+loopclosure_optimizer.cpp AddVertex) by masking its update rows.
 """
 
 from __future__ import annotations
@@ -25,10 +38,10 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..core.lie import se3_exp, se3_inv
+from ..core.lie import se3_exp
 from .pose_graph import PoseGraph, _edge_residuals
 
-AXIS = "edges"
+AXIS = "graph"
 
 
 def make_mesh(devices) -> Mesh:
@@ -37,43 +50,73 @@ def make_mesh(devices) -> Mesh:
     return Mesh(np.asarray(devices), (AXIS,))
 
 
-def _partial_normal_equations(g: PoseGraph, poses):
-    """Dense H/b contribution of this device's edge shard (same math as the
-    single-chip optimize, backend/pose_graph.py)."""
-    k = poses.shape[0]
+def _edge_blocks(g: PoseGraph, poses):
+    """Per-edge H blocks and b contributions for this device's edge shard."""
     dtype = poses.dtype
     gg = g._replace(poses=poses)
     e, j_i, j_j = _edge_residuals(gg)
     w = gg.edge_mask.astype(dtype)
     lam = gg.edge_info * w[:, None]
-
-    jtl_i = jnp.swapaxes(j_i, -1, -2) * lam[:, None, :]
+    jtl_i = jnp.swapaxes(j_i, -1, -2) * lam[:, None, :]  # [E, 6, 6]
     jtl_j = jnp.swapaxes(j_j, -1, -2) * lam[:, None, :]
-    h = jnp.zeros((k, k, 6, 6), dtype)
-    h = h.at[gg.edge_i, gg.edge_i].add(jtl_i @ j_i)
-    h = h.at[gg.edge_i, gg.edge_j].add(jtl_i @ j_j)
-    h = h.at[gg.edge_j, gg.edge_i].add(jtl_j @ j_i)
-    h = h.at[gg.edge_j, gg.edge_j].add(jtl_j @ j_j)
-    b = jnp.zeros((k, 6), dtype)
-    b = b.at[gg.edge_i].add(jnp.einsum("eab,eb->ea", jtl_i, e))
-    b = b.at[gg.edge_j].add(jnp.einsum("eab,eb->ea", jtl_j, e))
-    return (
-        jnp.transpose(h, (0, 2, 1, 3)).reshape(k * 6, k * 6),
-        b.reshape(k * 6),
-    )
+    h_ii = jtl_i @ j_i
+    h_ij = jtl_i @ j_j
+    h_jj = jtl_j @ j_j
+    # h_ji = h_ij^T (H symmetric); never materialized separately
+    b_i = jnp.einsum("eab,eb->ea", jtl_i, e)
+    b_j = jnp.einsum("eab,eb->ea", jtl_j, e)
+    return h_ii, h_ij, h_jj, b_i, b_j
 
 
-def sharded_optimize(mesh: Mesh, g: PoseGraph, iterations: int = 15,
-                     damping: float = 1e-6) -> PoseGraph:
-    """GN over the pose graph with edges sharded over `mesh`.
+def _solve_pcg(matvec, precond, b, iterations: int):
+    """Conjugate gradients on H dx = b with a block preconditioner.
 
-    Edge capacity must divide the mesh size (pad the builder capacities
-    accordingly). Returns the graph with optimized poses (replicated).
+    Fixed iteration count (static shape-friendly); dot products are plain
+    sums — callers running under shard_map keep x/r/p replicated so no psum
+    of scalars is needed beyond the matvec itself.
+    """
+    dtype = b.dtype
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0).astype(dtype)
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        hp = matvec(p)
+        denom = jnp.vdot(p, hp).astype(dtype)
+        alpha = jnp.where(jnp.abs(denom) > 1e-30, rz / denom, 0.0).astype(dtype)
+        x = x + alpha * p
+        r = r - alpha * hp
+        z = precond(r)
+        rz_new = jnp.vdot(r, z).astype(dtype)
+        beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0).astype(dtype)
+        p = z + beta * p
+        return x, r, p, rz_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iterations, body, (x0, r0, p0, rz0))
+    return x
+
+
+def sharded_optimize(
+    mesh: Mesh,
+    g: PoseGraph,
+    iterations: int = 15,
+    damping: float = 1e-3,
+    cg_iterations: int = 64,
+) -> PoseGraph:
+    """Block-sparse Gauss-Newton/PCG over the pose graph, edges sharded.
+
+    Edge capacity must divide the mesh size; keyframe capacity must divide
+    it too (the preconditioner blocks are keyframe-sharded). Returns the
+    graph with optimized poses (replicated).
     """
     n_dev = mesh.devices.size
     e_cap = g.edge_i.shape[0]
-    assert e_cap % n_dev == 0, f"edge capacity {e_cap} not divisible by mesh size {n_dev}"
     k = g.poses.shape[0]
+    assert e_cap % n_dev == 0, f"edge capacity {e_cap} % mesh {n_dev} != 0"
+    assert k % n_dev == 0, f"vertex capacity {k} % mesh {n_dev} != 0"
     dtype = g.poses.dtype
 
     edge_spec = P(AXIS)
@@ -82,37 +125,73 @@ def sharded_optimize(mesh: Mesh, g: PoseGraph, iterations: int = 15,
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(
-            rep,  # poses
-            rep,  # pose_mask
-            edge_spec, edge_spec,  # edge_i, edge_j
-            edge_spec,  # edge_meas
-            edge_spec,  # edge_info
-            edge_spec,  # edge_mask
-        ),
+        in_specs=(rep, rep, edge_spec, edge_spec, edge_spec, edge_spec, edge_spec),
         out_specs=rep,
+        check_vma=False,  # psum'd CG carries are replicated by construction
     )
     def run(poses, pose_mask, edge_i, edge_j, edge_meas, edge_info, edge_mask):
         g_local = PoseGraph(poses, pose_mask, edge_i, edge_j, edge_meas,
                             edge_info, edge_mask)
+        free = pose_mask.at[0].set(False)  # vertex 0 fixed (gauge)
+        fmask = free.astype(dtype)[:, None]  # [K, 1]
 
         def gn_iter(_, poses):
-            h_part, b_part = _partial_normal_equations(g_local, poses)
-            # ICI all-reduce: combine per-shard normal equations
-            h = jax.lax.psum(h_part, AXIS)
-            b = jax.lax.psum(b_part, AXIS)
+            h_ii, h_ij, h_jj, b_i, b_j = _edge_blocks(g_local, poses)
 
-            free = pose_mask.at[0].set(False)
-            d = jnp.repeat(free.astype(dtype), 6)
-            h = h * d[:, None] * d[None, :] + jnp.diag(1.0 - d)
-            b = b * d
-            scale = jnp.maximum(jnp.trace(h) / (k * 6), 1.0)
-            dx = jax.scipy.linalg.cho_solve(
-                jax.scipy.linalg.cho_factor(
-                    h + damping * scale * jnp.eye(k * 6, dtype=dtype)
-                ),
-                -b,
-            ).reshape(k, 6)
+            # gradient: local scatter + one [K,6] psum
+            b = jnp.zeros((k, 6), dtype)
+            b = b.at[edge_i].add(b_i).at[edge_j].add(b_j)
+            b = jax.lax.psum(b, AXIS)
+            b = -b * fmask
+
+            # block-diagonal of H: local scatter, reduce-scatter to the
+            # keyframe owner, damp + invert there (keyframes sharded),
+            # all-gather the inverted preconditioner blocks
+            hdiag = jnp.zeros((k, 6, 6), dtype)
+            hdiag = hdiag.at[edge_i].add(h_ii).at[edge_j].add(h_jj)
+            hdiag_own = jax.lax.psum_scatter(
+                hdiag, AXIS, scatter_dimension=0, tiled=True
+            )  # [K/P, 6, 6]
+            # damping scale must be IDENTICAL on every device (the CG carries
+            # are replicated): reduce the trace globally
+            tr_sum = jax.lax.psum(
+                jnp.sum(jnp.trace(hdiag_own, axis1=-2, axis2=-1)), AXIS
+            )
+            scale = jnp.maximum(tr_sum / (6.0 * k), 1.0)
+            eye6 = jnp.eye(6, dtype=dtype)
+            m_own = jnp.linalg.inv(hdiag_own + damping * scale * eye6)
+            m_inv = jax.lax.all_gather(m_own, AXIS, axis=0, tiled=True)  # [K,6,6]
+
+            damp = damping * scale
+
+            def matvec(x):
+                # H x from the per-edge blocks directly (each edge's
+                # contribution counted once on the shard that owns it)
+                x = x.reshape(k, 6)
+                y = jnp.zeros((k, 6), dtype)
+                xi = x[edge_i]
+                xj = x[edge_j]
+                y = y.at[edge_i].add(
+                    jnp.einsum("eab,eb->ea", h_ii, xi)
+                    + jnp.einsum("eab,eb->ea", h_ij, xj)
+                )
+                y = y.at[edge_j].add(
+                    jnp.einsum("eab,eb->ea", h_jj, xj)
+                    + jnp.einsum("eba,eb->ea", h_ij, xi)  # H_ji = H_ij^T
+                )
+                y = jax.lax.psum(y, AXIS)
+                y = y + damp * x  # replicated damping term (exact)
+                y = y * fmask  # gauge: fixed/unused rows pinned
+                y = y + x * (1.0 - fmask)  # identity on pinned rows
+                return y.reshape(-1)
+
+            def precond(r):
+                r = r.reshape(k, 6) * fmask
+                z = jnp.einsum("kab,kb->ka", m_inv, r) * fmask
+                return z.reshape(-1)
+
+            dx = _solve_pcg(matvec, precond, b.reshape(-1), cg_iterations)
+            dx = dx.reshape(k, 6) * fmask
             upd = se3_exp(dx)
             return jnp.where(free[:, None, None], upd @ poses, poses)
 

@@ -150,6 +150,31 @@ class PoseGraphBuilder:
         self.n_vertices = 0
         self.n_edges = 0
 
+    def _grow_vertices(self) -> None:
+        """Double the vertex capacity (amortized O(1); the device solve
+        re-jits per capacity, so growth is geometric to bound recompiles)."""
+        import numpy as np
+
+        new_cap = self.k_cap * 2
+        poses = np.tile(np.eye(4, dtype=np.float32), (new_cap, 1, 1))
+        poses[: self.k_cap] = self.poses
+        mask = np.zeros(new_cap, bool)
+        mask[: self.k_cap] = self.pose_mask
+        self.poses, self.pose_mask, self.k_cap = poses, mask, new_cap
+
+    def _grow_edges(self) -> None:
+        import numpy as np
+
+        new_cap = self.e_cap * 2
+        ei = np.zeros(new_cap, np.int32); ei[: self.e_cap] = self.edge_i
+        ej = np.zeros(new_cap, np.int32); ej[: self.e_cap] = self.edge_j
+        meas = np.tile(np.eye(4, dtype=np.float32), (new_cap, 1, 1))
+        meas[: self.e_cap] = self.edge_meas
+        info = np.zeros((new_cap, 6), np.float32); info[: self.e_cap] = self.edge_info
+        msk = np.zeros(new_cap, bool); msk[: self.e_cap] = self.edge_mask
+        self.edge_i, self.edge_j, self.edge_meas = ei, ej, meas
+        self.edge_info, self.edge_mask, self.e_cap = info, msk, new_cap
+
     def add_vertex(self, pose, odom_meas=None) -> int:
         """Add a keyframe vertex + odometry edge to the previous one.
 
@@ -160,7 +185,8 @@ class PoseGraphBuilder:
         import numpy as np
 
         i = self.n_vertices
-        assert i < self.k_cap, "pose graph vertex capacity exceeded"
+        if i >= self.k_cap:
+            self._grow_vertices()
         if i > 0 and odom_meas is not None:
             self.poses[i] = self.poses[i - 1] @ np.asarray(odom_meas, np.float32)
         else:
@@ -180,7 +206,8 @@ class PoseGraphBuilder:
         import numpy as np
 
         e = self.n_edges
-        assert e < self.e_cap, "pose graph edge capacity exceeded"
+        if e >= self.e_cap:
+            self._grow_edges()
         self.edge_i[e] = i
         self.edge_j[e] = j
         self.edge_meas[e] = np.asarray(meas, np.float32)

@@ -56,26 +56,28 @@ class FusionStates(NamedTuple):
     ba_j: jax.Array
 
 
-def _set_block(h, b, rows, cols, jt_lam_j, jt_lam_e=None):
-    h = jax.lax.dynamic_update_slice(
-        h, jax.lax.dynamic_slice(h, (rows, cols), jt_lam_j.shape) + jt_lam_j, (rows, cols)
-    )
-    return h, b
+def _full_j(blocks, edim: int, dtype):
+    """Blocks [(state_offset, J[edim, 3])] -> dense J [edim, 30].
+
+    Static offsets, so the scatter is compile-time slicing; the factor's
+    H/b contribution then becomes two small matmuls instead of O(blocks^2)
+    slice-adds — on TPU the slice-add form costs hundreds of tiny ops per
+    assembly (~170 ms/frame measured for the 40 assemblies of the LM loop)."""
+    j = jnp.zeros((edim, 30), dtype)
+    for off, jb in blocks:
+        j = j.at[:, off : off + 3].set(jb)
+    return j
 
 
-def _accumulate(h, b, blocks, lam, err):
-    """Accumulate a factor: blocks = [(row_offset, J_block 3-col)] pairs.
-
-    `blocks` maps state offsets to the factor's Jacobian sub-columns:
-    list of (offset, J[edim, 3]). h += J^T Λ J, b += J^T Λ e.
-    """
+def _accumulate(h, b, cost, blocks, lam, err):
+    """h += J^T Λ J, b += J^T Λ e, cost += e^T Λ e (matmul form)."""
+    j = _full_j(blocks, err.shape[0], err.dtype)
+    lam_j = lam @ j
     lam_e = lam @ err
-    for off_a, j_a in blocks:
-        jta = j_a.T @ lam
-        b = b.at[off_a : off_a + 3].add(j_a.T @ lam_e)
-        for off_b, j_b in blocks:
-            h = h.at[off_a : off_a + 3, off_b : off_b + 3].add(jta @ j_b)
-    return h, b
+    h = h + j.T @ lam_j
+    b = b + j.T @ lam_e
+    cost = cost + err @ lam_e
+    return h, b, cost
 
 
 def _preint_residual_blocks(s: FusionStates, pre: PreintState, gravity, dtype):
@@ -230,8 +232,7 @@ def fuse(
         b = jnp.zeros(30, dtype)
         cost = jnp.zeros((), dtype)
         for err, blocks, lam in _all_factors(s, last, pre, lidar_r, lidar_p, gravity, cfg, dtype):
-            h, b = _accumulate(h, b, blocks, lam, err)
-            cost = cost + err @ (lam @ err)
+            h, b, cost = _accumulate(h, b, cost, blocks, lam, err)
         return 0.5 * (h + h.T), b, cost
 
     # Levenberg-Marquardt, like the reference's g2o optimizer
@@ -242,26 +243,43 @@ def fuse(
     # (observed |ba| -> hundreds within one frame). The accept/reject test
     # keeps the cost monotone. H is Jacobi-preconditioned (D^-1/2 H D^-1/2)
     # before the solve — the TPU-friendly alternative to g2o's f64.
-    def lm_step(carry, _):
-        s, lm_lambda, cost = carry
-        h, b, _ = _assemble(s)
+    class LmCarry(NamedTuple):
+        s: FusionStates
+        lm_lambda: jax.Array
+        cost: jax.Array
+        it: jax.Array
+        done: jax.Array
+
+    def lm_cond(c: LmCarry):
+        return (c.it < cfg.iterations) & ~c.done
+
+    def lm_step(c: LmCarry) -> LmCarry:
+        h, b, _ = _assemble(c.s)
         d_inv = jax.lax.rsqrt(jnp.maximum(jnp.diag(h), 1e-12))
         hs = h * d_inv[:, None] * d_inv[None, :]
         dx = d_inv * jnp.linalg.solve(
-            hs + lm_lambda * jnp.eye(30, dtype=dtype), -(b * d_inv)
+            hs + c.lm_lambda * jnp.eye(30, dtype=dtype), -(b * d_inv)
         )
-        s_try = _apply_dx(s, dx)
+        s_try = _apply_dx(c.s, dx)
         _, _, cost_try = _assemble(s_try)
-        accept = cost_try < cost
-        s_new = jax.tree.map(lambda a, r: jnp.where(accept, a, r), s_try, s)
-        lam_new = jnp.where(accept, jnp.maximum(lm_lambda * 0.5, 1e-6),
-                            jnp.minimum(lm_lambda * 8.0, 1e2))
-        return (s_new, lam_new, jnp.where(accept, cost_try, cost)), None
+        accept = cost_try < c.cost
+        s_new = jax.tree.map(lambda a, r: jnp.where(accept, a, r), s_try, c.s)
+        lam_new = jnp.where(accept, jnp.maximum(c.lm_lambda * 0.5, 1e-6),
+                            jnp.minimum(c.lm_lambda * 8.0, 1e2))
+        # converged when an accepted step barely moves the state; also stop
+        # after a rejected step at the lambda ceiling (no progress possible)
+        tiny = jnp.linalg.norm(dx) < 1e-6
+        stuck = ~accept & (c.lm_lambda >= 1e2)
+        return LmCarry(
+            s=s_new, lm_lambda=lam_new,
+            cost=jnp.where(accept, cost_try, c.cost),
+            it=c.it + 1, done=(accept & tiny) | stuck,
+        )
 
     _, _, cost0 = _assemble(s0)
-    (s, _, _), _ = jax.lax.scan(
-        lm_step, (s0, jnp.asarray(1e-4, dtype), cost0), None, length=cfg.iterations
-    )
+    init = LmCarry(s0, jnp.asarray(1e-4, dtype), cost0,
+                   jnp.zeros((), jnp.int32), jnp.asarray(False))
+    s = jax.lax.while_loop(lm_cond, lm_step, init).s
 
     # posterior information at the optimum -> marginalize old state
     h, _, _ = _assemble(s)

@@ -216,15 +216,25 @@ def query_stencil(m: NdtMap, queries: jax.Array, inv_voxel_size,
                   num_probes: int = 8, group_capacity: int | None = None):
     """Gather the 7-neighborhood Gaussians for each query point.
 
-    Deduplicated like voxel_hash.query_knn: the stencil probe runs once per
-    unique query voxel (at most `group_capacity` groups, defaulting to N so
-    no group is ever silently dropped), then each point gathers its group's
-    candidate row.
+    Default path is direct per-point; passing `group_capacity` switches to
+    the sort-deduplicated path (one stencil probe per unique query voxel),
+    like voxel_hash.query_knn.
 
     Returns (mean [N,7,3], info [N,7,3,3], valid [N,7]).
     """
     n = queries.shape[0]
-    gcap = group_capacity if group_capacity is not None else n
+    if group_capacity is None:
+        qc = voxel_coords(queries, inv_voxel_size)  # [N, 3]
+        cand = qc[:, None, :] + NDT_STENCIL[None, :, :]  # [N, 7, 3]
+        slots, match, _ = _probe(m, cand, num_probes)
+        found = jnp.any(match, axis=-1)
+        first = jnp.argmax(match, axis=-1)
+        slot = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]
+        slot_safe = jnp.maximum(jnp.where(found, slot, 0), 0)
+        valid = found & m.estimated[slot_safe]
+        return m.mean[slot_safe], m.info[slot_safe], valid
+
+    gcap = group_capacity
     g = group_by_voxel(queries, jnp.ones(n, bool), inv_voxel_size)
     rep_tgt = jnp.where((g.rank == 0) & (g.group_id < gcap), g.group_id, gcap)
     uniq = jnp.zeros((gcap, 3), jnp.int32).at[rep_tgt].set(g.group_coords, mode="drop")

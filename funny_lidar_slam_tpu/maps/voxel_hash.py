@@ -307,29 +307,47 @@ def query_knn(
     num_probes: int = 8,
     group_capacity: int | None = None,
 ):
-    """Batched k-nearest-neighbors via deduplicated stencil gather + top-k.
+    """Batched k-nearest-neighbors via stencil gather + top-k.
 
-    Equivalent of IVoxMap::GetClosestPoint (src/ivox_map/ivox_map.cpp:6-37).
+    Equivalent of IVoxMap::GetClosestPoint (src/ivox_map/ivox_map.cpp:6-37):
+    probe the stencil voxels around each query's voxel, gather their buckets,
+    take the k smallest distances.
 
-    TPU cost model note: XLA gathers pay per ROW, not per byte, so the naive
-    per-point probe ([N, V, P] tiny gathers) is ~10x slower than necessary.
-    Queries sharing a voxel share the exact same stencil candidates, so the
-    lookup is done once per UNIQUE query voxel (sort-based grouping, at most
-    `group_capacity` groups) and the per-point step only gathers one wide
-    [V*S, 3] candidate row per point. `group_capacity` defaults to N (every
-    point its own voxel — always correct); callers that KNOW their scans are
-    dense may lower it, accepting that points in groups beyond the capacity
-    report no neighbors.
+    Default path is direct per-point (probing is one wide fpwin row gather
+    per candidate, see _probe_slots). Passing `group_capacity` switches to a
+    sort-deduplicated path that runs the stencil lookup once per UNIQUE query
+    voxel — worth it only when queries are much denser than the voxel grid;
+    points in groups beyond the capacity report no neighbors.
 
     Returns (neighbors [N,k,3], sq_dists [N,k], valid [N,k]).
     """
-    from ..ops.voxel import group_by_voxel
-
     n = queries.shape[0]
-    gcap = group_capacity if group_capacity is not None else n
     offsets = jnp.asarray(STENCILS[stencil], jnp.int32)  # [V, 3]
     v = offsets.shape[0]
     s = m.bucket_size
+
+    if group_capacity is None:
+        qc = voxel_coords(queries, inv_voxel_size)  # [N, 3]
+        cand = qc[:, None, :] + offsets[None, :, :]  # [N, V, 3]
+        slot = find_slots(m, cand, num_probes)  # [N, V]
+        slot_safe = jnp.maximum(slot, 0)
+        cand_pts = m.points[slot_safe].reshape(n, v * s, 3)
+        bcnt = jnp.where(slot >= 0, m.count[slot_safe], 0)  # [N, V]
+        cand_valid = (jnp.arange(s)[None, None, :] < bcnt[:, :, None]).reshape(n, v * s)
+        d2 = jnp.sum((cand_pts - queries[:, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(cand_valid, d2, jnp.inf)
+        if k == 1:
+            idx = jnp.argmin(d2, axis=1)[:, None]
+            knn_d2 = jnp.take_along_axis(d2, idx, axis=1)
+        else:
+            neg, idx = jax.lax.top_k(-d2, k)
+            knn_d2 = -neg
+        nbrs = jnp.take_along_axis(cand_pts, idx[..., None], axis=1)
+        return nbrs, knn_d2, jnp.isfinite(knn_d2)
+
+    from ..ops.voxel import group_by_voxel
+
+    gcap = group_capacity
 
     g = group_by_voxel(queries, jnp.ones(n, bool), inv_voxel_size)
 

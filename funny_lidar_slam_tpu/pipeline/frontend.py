@@ -55,6 +55,13 @@ class StepResult(NamedTuple):
     num_valid: jax.Array
     iters: jax.Array
     fitness: jax.Array
+    # deskewed cloud in the body frame at the scan reference time — what the
+    # reference persists per keyframe (KeyFrame::SaveAllCloud saves the
+    # PROCESSED clouds, include/common/keyframe.h:59-94), so loop-closure
+    # submaps and map products are distortion-free and frame-consistent with
+    # the fused pose
+    points: jax.Array  # [N, 3]
+    mask: jax.Array  # [N]
 
 
 @dataclass
@@ -137,7 +144,7 @@ class Frontend:
             delta_pose=jnp.eye(4, dtype=self.dtype),
             initialized=jnp.asarray(True),
         )
-        return mstate, fstate
+        return mstate, fstate, (pts, msk)
 
     def _process(self, cloud: Cloud, ring, rel_times):
         """Feature extraction branch (preprocessing.cpp:226-237): project the
@@ -242,6 +249,8 @@ class Frontend:
             num_valid=res.num_valid,
             iters=res.iters,
             fitness=res.total_res,
+            points=pts,
+            mask=msk,
         )
         return mstate, new_fstate, out
 

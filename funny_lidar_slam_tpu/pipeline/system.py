@@ -147,7 +147,7 @@ class SlamSystem:
         t0 = time.perf_counter()
         if self.fstate is None:
             # deskew reference = scan end; first frame seeds the map there
-            self.mstate, self.fstate = self.frontend.init_frame(
+            self.mstate, self.fstate, (dpts, dmask) = self.frontend.init_frame(
                 self.mstate, pts, rts - (scan_end - t_start), mask, scan_end, dseg
             )
             pose = np.asarray(self.fstate.nav.pose)
@@ -165,6 +165,7 @@ class SlamSystem:
             )
             pose = np.asarray(out.pose)
             converged = bool(out.converged)
+            dpts, dmask = out.points, out.mask
             stats = {
                 "init": False,
                 "num_valid": int(out.num_valid),
@@ -182,12 +183,16 @@ class SlamSystem:
             if self._is_keyframe(self._accum_delta):
                 self._accum_delta = np.eye(4)
                 kf_id = len(self.keyframes)
+                # persist the DESKEWED body-frame cloud (the reference saves
+                # processed clouds per keyframe, keyframe.h:59-94) so submaps
+                # and map products are frame-consistent with the fused pose
+                kf_cloud = np.asarray(dpts)[np.asarray(dmask)]
                 self.keyframes.add(
                     KeyFrame(
                         kf_id=kf_id,
                         timestamp=scan_end,
                         pose=pose,
-                        cloud=np.asarray(points, np.float32),
+                        cloud=kf_cloud.astype(np.float32),
                     )
                 )
                 stats["keyframe"] = True
