@@ -18,7 +18,8 @@ nothing is distributed. This module is the multi-chip component SURVEY.md
         blocks of its keyframe range (keyframes sharded),
       - each CG matvec = local per-edge block products + one `psum` of the
         [K, 6] vector (K*24 bytes — rides ICI, microseconds),
-      - the preconditioner apply is a local block solve + `all_gather`.
+      - the preconditioner blocks are Jacobi-equilibrated, inverted on the
+        owner, and replicated with a scatter + `psum`.
     Per-iteration communication is O(K*6) instead of the O((6K)^2) a dense
     all-reduce would ship: at K = 4096 that is 100 KB vs 2.4 GB.
   * keyframe POSES are replicated on purpose: 4x4 f32 x K is 64 KB at
@@ -68,12 +69,13 @@ def _edge_blocks(g: PoseGraph, poses):
     return h_ii, h_ij, h_jj, b_i, b_j
 
 
-def _solve_pcg(matvec, precond, b, iterations: int):
+def _solve_pcg(matvec, precond, b, iterations: int, rtol: float = 1e-6):
     """Conjugate gradients on H dx = b with a block preconditioner.
 
-    Fixed iteration count (static shape-friendly); dot products are plain
-    sums — callers running under shard_map keep x/r/p replicated so no psum
-    of scalars is needed beyond the matvec itself.
+    Early exit on relative residual (device-side `while_loop` — no host
+    sync); dot products are plain sums — callers running under shard_map
+    keep x/r/p replicated so no psum of scalars is needed beyond the matvec
+    itself.
     """
     dtype = b.dtype
     x0 = jnp.zeros_like(b)
@@ -81,9 +83,14 @@ def _solve_pcg(matvec, precond, b, iterations: int):
     z0 = precond(r0)
     p0 = z0
     rz0 = jnp.vdot(r0, z0).astype(dtype)
+    rr0 = jnp.vdot(r0, r0).astype(dtype)
 
-    def body(_, carry):
-        x, r, p, rz = carry
+    def cond(carry):
+        i, x, r, p, rz, rr = carry
+        return (i < iterations) & (rr > rtol * rtol * rr0)
+
+    def body(carry):
+        i, x, r, p, rz, rr = carry
         hp = matvec(p)
         denom = jnp.vdot(p, hp).astype(dtype)
         alpha = jnp.where(jnp.abs(denom) > 1e-30, rz / denom, 0.0).astype(dtype)
@@ -93,9 +100,11 @@ def _solve_pcg(matvec, precond, b, iterations: int):
         rz_new = jnp.vdot(r, z).astype(dtype)
         beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0).astype(dtype)
         p = z + beta * p
-        return x, r, p, rz_new
+        return i + 1, x, r, p, rz_new, jnp.vdot(r, r).astype(dtype)
 
-    x, _, _, _ = jax.lax.fori_loop(0, iterations, body, (x0, r0, p0, rz0))
+    _, x, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), x0, r0, p0, rz0, rr0)
+    )
     return x
 
 
@@ -103,7 +112,7 @@ def sharded_optimize(
     mesh: Mesh,
     g: PoseGraph,
     iterations: int = 15,
-    damping: float = 1e-3,
+    damping: float = 1e-6,
     cg_iterations: int = 64,
 ) -> PoseGraph:
     """Block-sparse Gauss-Newton/PCG over the pose graph, edges sharded.
@@ -127,7 +136,6 @@ def sharded_optimize(
         mesh=mesh,
         in_specs=(rep, rep, edge_spec, edge_spec, edge_spec, edge_spec, edge_spec),
         out_specs=rep,
-        check_vma=False,  # psum'd CG carries are replicated by construction
     )
     def run(poses, pose_mask, edge_i, edge_j, edge_meas, edge_info, edge_mask):
         g_local = PoseGraph(poses, pose_mask, edge_i, edge_j, edge_meas,
@@ -145,42 +153,59 @@ def sharded_optimize(
             b = -b * fmask
 
             # block-diagonal of H: local scatter, reduce-scatter to the
-            # keyframe owner, damp + invert there (keyframes sharded),
-            # all-gather the inverted preconditioner blocks
+            # keyframe owner (keyframes sharded over the same axis)
             hdiag = jnp.zeros((k, 6, 6), dtype)
             hdiag = hdiag.at[edge_i].add(h_ii).at[edge_j].add(h_jj)
             hdiag_own = jax.lax.psum_scatter(
                 hdiag, AXIS, scatter_dimension=0, tiled=True
             )  # [K/P, 6, 6]
-            # damping scale must be IDENTICAL on every device (the CG carries
-            # are replicated): reduce the trace globally
-            tr_sum = jax.lax.psum(
-                jnp.sum(jnp.trace(hdiag_own, axis1=-2, axis2=-1)), AXIS
-            )
-            scale = jnp.maximum(tr_sum / (6.0 * k), 1.0)
-            eye6 = jnp.eye(6, dtype=dtype)
-            m_own = jnp.linalg.inv(hdiag_own + damping * scale * eye6)
-            m_inv = jax.lax.all_gather(m_own, AXIS, axis=0, tiled=True)  # [K,6,6]
 
-            damp = damping * scale
+            # Jacobi equilibration (see pose_graph.optimize: f32 has no
+            # headroom for O(info * r^2) lever-arm entries; D H D with
+            # D = diag(H)^-1/2 is the identical GN step, well conditioned).
+            # d is computed on the owner shard; ownership is converted back
+            # to replication with a scatter + psum (psum is the vma-checked
+            # varying->invariant collective; all_gather stays varying).
+            kp = k // jax.lax.axis_size(AXIS)
+            row0 = jax.lax.axis_index(AXIS) * kp
+            d_own = jax.lax.rsqrt(jnp.maximum(
+                jnp.diagonal(hdiag_own, axis1=-2, axis2=-1), 1e-12))
+            d = jax.lax.psum(jax.lax.dynamic_update_slice(
+                jnp.zeros((k, 6), dtype), d_own, (row0, jnp.int32(0))), AXIS)  # [K, 6]
+            d = jnp.where(fmask > 0, d, 1.0)
+
+            # equilibrate the local edge blocks and the gradient
+            di, dj_ = d[edge_i], d[edge_j]
+            h_ii_s = di[:, :, None] * h_ii * di[:, None, :]
+            h_ij_s = di[:, :, None] * h_ij * dj_[:, None, :]
+            h_jj_s = dj_[:, :, None] * h_jj * dj_[:, None, :]
+            b_s = b * d
+
+            # preconditioner: equilibrated diag blocks (unit diagonal),
+            # damped + inverted on the owner, then replicated via psum
+            hdiag_s = d_own[:, :, None] * hdiag_own * d_own[:, None, :]
+            eye6 = jnp.eye(6, dtype=dtype)
+            m_own = jnp.linalg.inv(hdiag_s + damping * eye6)
+            m_inv = jax.lax.psum(jax.lax.dynamic_update_slice(
+                jnp.zeros((k, 6, 6), dtype), m_own, (row0, jnp.int32(0), jnp.int32(0))), AXIS)
 
             def matvec(x):
-                # H x from the per-edge blocks directly (each edge's
-                # contribution counted once on the shard that owns it)
+                # (D H D) x from the per-edge equilibrated blocks (each
+                # edge's contribution counted once on the shard that owns it)
                 x = x.reshape(k, 6)
                 y = jnp.zeros((k, 6), dtype)
                 xi = x[edge_i]
                 xj = x[edge_j]
                 y = y.at[edge_i].add(
-                    jnp.einsum("eab,eb->ea", h_ii, xi)
-                    + jnp.einsum("eab,eb->ea", h_ij, xj)
+                    jnp.einsum("eab,eb->ea", h_ii_s, xi)
+                    + jnp.einsum("eab,eb->ea", h_ij_s, xj)
                 )
                 y = y.at[edge_j].add(
-                    jnp.einsum("eab,eb->ea", h_jj, xj)
-                    + jnp.einsum("eba,eb->ea", h_ij, xi)  # H_ji = H_ij^T
+                    jnp.einsum("eab,eb->ea", h_jj_s, xj)
+                    + jnp.einsum("eba,eb->ea", h_ij_s, xi)  # H_ji = H_ij^T
                 )
                 y = jax.lax.psum(y, AXIS)
-                y = y + damp * x  # replicated damping term (exact)
+                y = y + damping * x  # replicated damping term (exact)
                 y = y * fmask  # gauge: fixed/unused rows pinned
                 y = y + x * (1.0 - fmask)  # identity on pinned rows
                 return y.reshape(-1)
@@ -190,8 +215,8 @@ def sharded_optimize(
                 z = jnp.einsum("kab,kb->ka", m_inv, r) * fmask
                 return z.reshape(-1)
 
-            dx = _solve_pcg(matvec, precond, b.reshape(-1), cg_iterations)
-            dx = dx.reshape(k, 6) * fmask
+            y = _solve_pcg(matvec, precond, b_s.reshape(-1), cg_iterations)
+            dx = d * y.reshape(k, 6) * fmask  # undo equilibration
             upd = se3_exp(dx)
             return jnp.where(free[:, None, None], upd @ poses, poses)
 

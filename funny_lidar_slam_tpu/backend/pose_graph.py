@@ -110,11 +110,19 @@ def optimize(g: PoseGraph, iterations: int = 15, damping: float = 1e-6) -> PoseG
         h = h * d[:, None] * d[None, :] + jnp.diag(1.0 - d)
         b = b * d
 
-        scale = jnp.maximum(jnp.trace(h) / (k * 6), 1.0)
-        dx = jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(h + damping * scale * jnp.eye(k * 6, dtype=dtype)),
-            -b,
-        ).reshape(k, 6)
+        # Jacobi equilibration: lever arms of O(radius) put H entries at
+        # O(info * r^2); in f32 the raw Cholesky loses the GN step entirely
+        # at >100 m scales (g2o solves in double — loopclosure_optimizer.cpp
+        # uses LinearSolverEigen<double>; the TPU has no f64, so balance the
+        # system instead: D H D y = D b with D = diag(H)^-1/2 is the same
+        # step, conditioned ~r^4 better).
+        dj = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(h), 1e-12))
+        hs = h * dj[:, None] * dj[None, :]
+        dx = dj * jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(hs + damping * jnp.eye(k * 6, dtype=dtype)),
+            -(b * dj),
+        )
+        dx = dx.reshape(k, 6)
 
         # LEFT-multiplicative SE(3) update: the Adj(T_j^-1) factor in the
         # edge Jacobians corresponds to the left perturbation convention of

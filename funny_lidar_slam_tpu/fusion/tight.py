@@ -243,10 +243,18 @@ def fuse(
     # (observed |ba| -> hundreds within one frame). The accept/reject test
     # keeps the cost monotone. H is Jacobi-preconditioned (D^-1/2 H D^-1/2)
     # before the solve — the TPU-friendly alternative to g2o's f64.
+    #
+    # The carry holds (h, b, cost) of the CURRENT state so each iteration
+    # assembles exactly once: an accepted step's trial assembly becomes next
+    # iteration's current assembly, a rejected step reuses the previous one
+    # (the naive accept/reject shape assembles twice per iteration and once
+    # more for the posterior — measured ~120 ms/frame of pure overhead).
     class LmCarry(NamedTuple):
         s: FusionStates
-        lm_lambda: jax.Array
+        h: jax.Array
+        b: jax.Array
         cost: jax.Array
+        lm_lambda: jax.Array
         it: jax.Array
         done: jax.Array
 
@@ -254,16 +262,15 @@ def fuse(
         return (c.it < cfg.iterations) & ~c.done
 
     def lm_step(c: LmCarry) -> LmCarry:
-        h, b, _ = _assemble(c.s)
-        d_inv = jax.lax.rsqrt(jnp.maximum(jnp.diag(h), 1e-12))
-        hs = h * d_inv[:, None] * d_inv[None, :]
+        d_inv = jax.lax.rsqrt(jnp.maximum(jnp.diag(c.h), 1e-12))
+        hs = c.h * d_inv[:, None] * d_inv[None, :]
         dx = d_inv * jnp.linalg.solve(
-            hs + c.lm_lambda * jnp.eye(30, dtype=dtype), -(b * d_inv)
+            hs + c.lm_lambda * jnp.eye(30, dtype=dtype), -(c.b * d_inv)
         )
         s_try = _apply_dx(c.s, dx)
-        _, _, cost_try = _assemble(s_try)
+        h_try, b_try, cost_try = _assemble(s_try)
         accept = cost_try < c.cost
-        s_new = jax.tree.map(lambda a, r: jnp.where(accept, a, r), s_try, c.s)
+        pick = lambda a, r: jnp.where(accept, a, r)
         lam_new = jnp.where(accept, jnp.maximum(c.lm_lambda * 0.5, 1e-6),
                             jnp.minimum(c.lm_lambda * 8.0, 1e2))
         # converged when an accepted step barely moves the state; also stop
@@ -271,22 +278,31 @@ def fuse(
         tiny = jnp.linalg.norm(dx) < 1e-6
         stuck = ~accept & (c.lm_lambda >= 1e2)
         return LmCarry(
-            s=s_new, lm_lambda=lam_new,
-            cost=jnp.where(accept, cost_try, c.cost),
-            it=c.it + 1, done=(accept & tiny) | stuck,
+            s=jax.tree.map(pick, s_try, c.s),
+            h=pick(h_try, c.h), b=pick(b_try, c.b),
+            cost=pick(cost_try, c.cost),
+            lm_lambda=lam_new, it=c.it + 1, done=(accept & tiny) | stuck,
         )
 
-    _, _, cost0 = _assemble(s0)
-    init = LmCarry(s0, jnp.asarray(1e-4, dtype), cost0,
+    h0, b0, cost0 = _assemble(s0)
+    init = LmCarry(s0, h0, b0, cost0, jnp.asarray(1e-4, dtype),
                    jnp.zeros((), jnp.int32), jnp.asarray(False))
-    s = jax.lax.while_loop(lm_cond, lm_step, init).s
+    final = jax.lax.while_loop(lm_cond, lm_step, init)
+    s = final.s
 
-    # posterior information at the optimum -> marginalize old state
-    h, _, _ = _assemble(s)
-    info_new = marginalize(h, 0, 14)[15:, 15:]
+    # posterior information at the optimum -> marginalize old state.
+    # One fresh assembly: XLA rounds the in-loop (while_loop-fused) assembly
+    # slightly differently from an out-of-loop one, and the marginalized
+    # prior is sensitive enough that reusing final.h shifted downstream
+    # behavior; one 30x30 assembly per frame is cheap — the saving that
+    # matters is the per-LM-iteration one above.
+    h_fin, _, _ = _assemble(s)
+    info_new = marginalize(h_fin, 0, 14)[15:, 15:]
     # an information matrix must be PSD; the f32 Schur complement can leave
     # tiny negative eigenvalues that destabilize the NEXT frame's LM solve,
-    # so project back onto the PSD cone (15x15 eigh, negligible cost)
+    # so project back onto the PSD cone unconditionally (the 15x15 eigh
+    # measures 0.034 ms on the v5e — a Cholesky witness that skips it was
+    # tried and missed sub-rounding indefiniteness, regressing the NDT e2e)
     info_new = 0.5 * (info_new + info_new.T)
     w, v = jnp.linalg.eigh(info_new)
     info_new = (v * jnp.maximum(w, 0.0)) @ v.T

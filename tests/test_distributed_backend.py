@@ -9,47 +9,7 @@ import pytest
 
 from funny_lidar_slam_tpu.backend import pose_graph
 from funny_lidar_slam_tpu.backend.distributed import make_mesh, sharded_optimize
-
-
-def _noisy_circle_graph(n=40, seed=0, k_cap=64, e_cap=128, radius=10.0,
-                        extra_loops=1):
-    """Synthetic noisy circle + loop edges (the reference's
-    loopclosure_optimization_ut.cpp simulation pattern)."""
-    rng = np.random.default_rng(seed)
-    b = pose_graph.PoseGraphBuilder(k_cap, e_cap)
-    gt = []
-    for i in range(n):
-        a = 2 * np.pi * i / n
-        t = np.eye(4, dtype=np.float32)
-        c, s = np.cos(a), np.sin(a)
-        t[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
-        t[:3, 3] = [radius * c, radius * s, 0.0]
-        gt.append(t)
-    # odometry chain with noise
-    noisy = [gt[0]]
-    for i in range(1, n):
-        meas = np.linalg.inv(gt[i - 1]) @ gt[i]
-        pert = np.eye(4, dtype=np.float32)
-        pert[:3, 3] = rng.normal(0, 0.03, 3)
-        noisy.append(noisy[-1] @ meas @ pert)
-    b.add_vertex(noisy[0])
-    for i in range(1, n):
-        meas = np.linalg.inv(gt[i - 1]) @ gt[i]
-        b.poses[i] = noisy[i]
-        b.pose_mask[i] = True
-        b.n_vertices += 1
-        b.add_edge(i - 1, i, meas, (1e2,) * 3 + (1e4,) * 3)
-    # loop edges spaced around the circle (ground-truth relative poses)
-    for l in range(extra_loops):
-        i = (l * n // max(extra_loops, 1)) % n
-        j = (i + n // 2) % n
-        if abs(i - j) < 2:
-            continue
-        loop_meas = np.linalg.inv(gt[i]) @ gt[j]
-        b.add_edge(i, j, loop_meas, (1e2,) * 3 + (1e4,) * 3)
-    loop_meas = np.linalg.inv(gt[n - 1]) @ gt[0]
-    b.add_edge(n - 1, 0, loop_meas, (1e2,) * 3 + (1e4,) * 3)
-    return b, np.asarray(gt)
+from funny_lidar_slam_tpu.io.simulator import noisy_circle_graph as _noisy_circle_graph
 
 
 def test_sharded_matches_single_chip():
@@ -84,11 +44,16 @@ def test_sharded_1k_keyframes():
                                 radius=150.0, extra_loops=600)
     assert b.n_edges >= 1500
     mesh = make_mesh(jax.devices()[:8])
-    out = sharded_optimize(mesh, b.to_device(), iterations=10)
+    # the 1000-pose odometry chain needs CG depth to propagate corrections
+    # end to end (block-Jacobi preconditioning is local); the early-exit
+    # while_loop makes unused iterations free once converged
+    out = sharded_optimize(mesh, b.to_device(), iterations=15,
+                           cg_iterations=512)
     est = np.asarray(out.poses)[: b.n_vertices]
     err = np.linalg.norm(est[:, :3, 3] - gt[:, :3, 3], axis=1)
-    # drift before optimization grows like sqrt(n)*0.03 ~ 1 m; optimized
-    # poses must be pulled back near ground truth by the loop edges
+    # drift before optimization grows like sqrt(n)*0.03 ~ 1 m (measured
+    # init maxerr 2.7 m); optimized poses must be pulled back near ground
+    # truth by the loop edges (measured 0.14 m with this budget)
     assert err.max() < 0.25, f"max position error {err.max():.3f}"
 
 
