@@ -42,6 +42,12 @@ class GNConfig(NamedTuple):
     # convergence requires at least this many valid correspondences (the
     # reference's det(H)==0 'continue' guard, icp_optimized.h:130-132)
     min_valid: int = 10
+    # correspondence-cache schedule: the NN gather + surface fit runs every
+    # `corr_every` iterations; the iterations in between re-linearize on the
+    # frozen matches (classic two-loop ICP; 1 = the reference's
+    # search-every-iteration semantics). Convergence only counts on a fresh
+    # gather — a converged stale iteration forces a re-gather instead.
+    corr_every: int = 1
 
 
 class GNResult(NamedTuple):
@@ -78,13 +84,40 @@ def _dx_split(dx: jax.Array, update: str):
 
 
 def run_gn(hg_fn: Callable[[jax.Array], HG], t0: jax.Array, cfg: GNConfig) -> GNResult:
-    """Iterate GN from `t0` with residual evaluator `hg_fn(T) -> HG`."""
+    """Iterate GN from `t0` with residual evaluator `hg_fn(T) -> HG`
+    (re-gathers correspondences every iteration, the reference semantics)."""
+    return run_gn_corr(lambda t: None, lambda t, _corr: hg_fn(t), t0,
+                       cfg._replace(corr_every=1))
+
+
+def run_gn_corr(
+    corr_fn: Callable[[jax.Array], object],
+    hg_fn: Callable[[jax.Array, object], HG],
+    t0: jax.Array,
+    cfg: GNConfig,
+) -> GNResult:
+    """Two-loop GN: `corr_fn(T)` produces the (expensive) correspondence set,
+    `hg_fn(T, corr)` linearizes on it. The gather runs on iteration 0 and
+    then every `cfg.corr_every` iterations — or immediately after an
+    iteration that converged on stale matches, so `converged` is only ever
+    declared against freshly gathered correspondences.
+
+    The stale-iteration bodies are pure [N]-vector arithmetic + a 6x6 solve;
+    on the v5e the gather is ~90% of an iteration, so corr_every=k cuts the
+    GN wall clock by nearly k for gather-bound matchers."""
     dtype = t0.dtype
     big = jnp.asarray(1e9, dtype)
+    # max_iters bounds GATHERS (one reference iteration = one correspondence
+    # search); the cheap stale relinearizations get their own looser bound
+    max_total = cfg.max_iters * max(int(cfg.corr_every), 1)
 
     class Carry(NamedTuple):
         t_mat: jax.Array
-        it: jax.Array
+        corr: object
+        it: jax.Array  # total linearizations (cheap)
+        gathers: jax.Array  # correspondence searches (expensive)
+        since_gather: jax.Array  # iterations since the matches were gathered
+        force_gather: jax.Array  # converged on stale matches -> re-gather now
         done: jax.Array
         converged: jax.Array
         last_rot: jax.Array
@@ -93,36 +126,57 @@ def run_gn(hg_fn: Callable[[jax.Array], HG], t0: jax.Array, cfg: GNConfig) -> GN
         total_res: jax.Array
 
     def cond(c: Carry):
-        return (c.it < cfg.max_iters) & ~c.done
+        return (c.gathers < cfg.max_iters) & (c.it < max_total) & ~c.done
 
     def body(c: Carry):
-        hg = hg_fn(c.t_mat)
+        refresh = (c.since_gather >= cfg.corr_every) | c.force_gather | (c.it == 0)
+        corr = jax.lax.cond(refresh, corr_fn, lambda _t: c.corr, c.t_mat)
+        hg = hg_fn(c.t_mat, corr)
         dx = solve6_damped(hg.h, hg.g)
         t_new = apply_update(c.t_mat, dx, cfg.update)
         rot, pos = _dx_split(dx, cfg.update)
         rn, pn = jnp.linalg.norm(rot), jnp.linalg.norm(pos)
         enough = hg.num_valid >= cfg.min_valid
         conv = (rn < cfg.rotation_eps) & (pn < cfg.position_eps) & enough
+        # the stall test compares successive dx norms of FRESH linearizations
+        # only (loam_full_kdtree.h:159-176 semantics — every reference
+        # iteration is fresh); comparing a fresh dx against a settled stale
+        # one terminates prematurely
         stall = (
-            (jnp.abs(rn - c.last_rot) < cfg.stall_eps)
+            refresh
+            & (jnp.abs(rn - c.last_rot) < cfg.stall_eps)
             & (jnp.abs(pn - c.last_pos) < cfg.stall_eps)
             if cfg.use_stall_check
             else jnp.asarray(False)
         )
+        settled = conv | stall
+        # only a fresh-gather iteration may end the solve; a settled stale
+        # iteration triggers an immediate re-gather instead
         return Carry(
             t_mat=t_new,
+            corr=corr,
             it=c.it + 1,
-            done=conv | stall,
-            converged=conv | (stall & enough),
-            last_rot=rn,
-            last_pos=pn,
+            gathers=c.gathers + refresh.astype(jnp.int32),
+            since_gather=jnp.where(refresh, 1, c.since_gather + 1),
+            force_gather=settled & ~refresh,
+            done=settled & refresh,
+            converged=(conv | (stall & enough)) & refresh,
+            last_rot=jnp.where(refresh, rn, c.last_rot),
+            last_pos=jnp.where(refresh, pn, c.last_pos),
             num_valid=hg.num_valid,
             total_res=hg.total_res,
         )
 
+    corr0 = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), jax.eval_shape(corr_fn, t0)
+    )
     init = Carry(
         t_mat=t0,
+        corr=corr0,
         it=jnp.zeros((), jnp.int32),
+        gathers=jnp.zeros((), jnp.int32),
+        since_gather=jnp.zeros((), jnp.int32),
+        force_gather=jnp.asarray(False),
         done=jnp.asarray(False),
         converged=jnp.asarray(False),
         last_rot=big,
@@ -131,4 +185,4 @@ def run_gn(hg_fn: Callable[[jax.Array], HG], t0: jax.Array, cfg: GNConfig) -> GN
         total_res=jnp.zeros((), dtype),
     )
     final = jax.lax.while_loop(cond, body, init)
-    return GNResult(final.t_mat, final.converged, final.it, final.num_valid, final.total_res)
+    return GNResult(final.t_mat, final.converged, final.gathers, final.num_valid, final.total_res)

@@ -65,6 +65,67 @@ def transform_points(t_mat: jax.Array, pts: jax.Array) -> jax.Array:
     return pts @ r.T + t_mat[:3, 3]
 
 
+# ---------------------------------------------------------------------------
+# Correspondence/linearization split. Each residual family is factored into
+#   *_corr(t_mat, ...) -> Corr   — the expensive part: NN stencil gather +
+#                                  surface fit + validity gates
+#   *_hg(t_mat, src, corr) -> HG — the cheap part: re-linearize the residual
+#                                  at the current pose on FROZEN matches
+# so the GN driver can re-gather every few iterations (gn.run_gn: the classic
+# two-loop ICP schedule — the reference re-searches the KdTree every
+# iteration, e.g. icp_optimized.h:78-116, but after the first 2-3 iterations
+# the pose moves millimeters and the matches are static; the stencil gather
+# is ~90% of a GN iteration on the v5e).
+# ---------------------------------------------------------------------------
+
+
+class P2PCorr(NamedTuple):
+    q: jax.Array  # [N, 3] matched map point
+    valid: jax.Array  # [N]
+
+
+def point_to_point_corr(
+    t_mat: jax.Array,
+    src: jax.Array,
+    src_mask: jax.Array,
+    m: voxel_hash.VoxelHashMap,
+    inv_voxel_size,
+    max_corr_dist_sq,
+    stencil: str = "nearby26",
+    num_probes: int = 8,
+    group_capacity: int | None = None,
+) -> P2PCorr:
+    """Optimized-ICP correspondence search (icp_optimized.h:78-94):
+    nearest map point within max distance."""
+    p_t = transform_points(t_mat, src)
+    nbrs, d2, ok = voxel_hash.query_knn(
+        m, p_t, inv_voxel_size, k=1, stencil=stencil, num_probes=num_probes,
+        group_capacity=group_capacity,
+    )
+    valid = src_mask & ok[:, 0] & (d2[:, 0] <= max_corr_dist_sq)
+    return P2PCorr(q=nbrs[:, 0], valid=valid)
+
+
+def point_to_point_hg_corr(t_mat: jax.Array, src: jax.Array, corr: P2PCorr) -> HG:
+    """Optimized-ICP linearization (icp_optimized.h:95-116).
+
+    r = (R p + t) - q,  J = [ I | -R hat(p) ]   (dx ordering [t, r]).
+    """
+    r_mat = t_mat[:3, :3]
+    p_t = transform_points(t_mat, src)
+    err = p_t - corr.q  # [N, 3]
+    jac = jnp.zeros(src.shape[:1] + (3, 6), src.dtype)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=src.dtype), jac[..., :3].shape)
+    jac = jac.at[..., :3].set(eye)
+    jac = jac.at[..., 3:].set(-jnp.einsum("ij,njk->nik", r_mat, so3_hat(src)))
+
+    lam = jnp.broadcast_to(jnp.eye(3, dtype=src.dtype), err.shape + (3,))
+    hg = _reduce_vec3(jac, err, lam, corr.valid)
+    # reference accumulates |r| (norm), not mahalanobis, for ICP stats
+    w = corr.valid.astype(src.dtype)
+    return hg._replace(total_res=jnp.sum(jnp.linalg.norm(err, axis=-1) * w))
+
+
 def point_to_point_hg(
     t_mat: jax.Array,
     src: jax.Array,
@@ -75,30 +136,12 @@ def point_to_point_hg(
     stencil: str = "nearby26",
     num_probes: int = 8,
 ) -> HG:
-    """Optimized-ICP residual (icp_optimized.h:78-116).
-
-    r = (R p + t) - q  (nearest map point),  valid iff |r|^2 <= max dist^2.
-    J = [ I | -R hat(p) ]   (dx ordering [t, r]).
-    """
-    r_mat = t_mat[:3, :3]
-    p_t = transform_points(t_mat, src)
-    nbrs, d2, ok = voxel_hash.query_knn(
-        m, p_t, inv_voxel_size, k=1, stencil=stencil, num_probes=num_probes
+    """One-shot gather + linearize (reference per-iteration semantics)."""
+    corr = point_to_point_corr(
+        t_mat, src, src_mask, m, inv_voxel_size, max_corr_dist_sq, stencil,
+        num_probes,
     )
-    q = nbrs[:, 0]
-    valid = src_mask & ok[:, 0] & (d2[:, 0] <= max_corr_dist_sq)
-
-    err = p_t - q  # [N, 3]
-    jac = jnp.zeros(src.shape[:1] + (3, 6), src.dtype)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=src.dtype), jac[..., :3].shape)
-    jac = jac.at[..., :3].set(eye)
-    jac = jac.at[..., 3:].set(-jnp.einsum("ij,njk->nik", r_mat, so3_hat(src)))
-
-    lam = jnp.broadcast_to(jnp.eye(3, dtype=src.dtype), err.shape + (3,))
-    hg = _reduce_vec3(jac, err, lam, valid)
-    # reference accumulates |r| (norm), not mahalanobis, for ICP stats
-    w = valid.astype(src.dtype)
-    return hg._replace(total_res=jnp.sum(jnp.linalg.norm(err, axis=-1) * w))
+    return point_to_point_hg_corr(t_mat, src, corr)
 
 
 def fit_plane_5nn(nbrs: jax.Array, ok: jax.Array, plane_thresh):
@@ -125,6 +168,60 @@ def fit_plane_5nn(nbrs: jax.Array, ok: jax.Array, plane_thresh):
     return normal, nbrs[:, 0], fit_ok
 
 
+class PlaneCorr(NamedTuple):
+    normal: jax.Array  # [N, 3] unit plane normal
+    q0: jax.Array  # [N, 3] plane anchor point
+    valid: jax.Array  # [N]
+
+
+def point_to_plane_corr(
+    t_mat: jax.Array,
+    src: jax.Array,
+    src_mask: jax.Array,
+    m: voxel_hash.VoxelHashMap,
+    inv_voxel_size,
+    plane_thresh,
+    max_search_dist_sq,
+    stencil: str = "nearby26",
+    num_probes: int = 8,
+    group_capacity: int | None = None,
+) -> PlaneCorr:
+    """5-NN plane fit + gates (loam_point_to_plane_kdtree.h:204-259): the
+    5th-NN distance gate, the plane-fit residual gate, and the near-point
+    rejection ||p|| < 81 d^2 (evaluated at the gather pose; frozen between
+    re-gathers)."""
+    p_t = transform_points(t_mat, src)
+    nbrs, d2, ok = voxel_hash.query_knn(
+        m, p_t, inv_voxel_size, k=5, stencil=stencil, num_probes=num_probes,
+        group_capacity=group_capacity,
+    )
+    # reference gates on the 5th NN distance (loam_*_kdtree.h dist[4])
+    ok = ok & (d2 <= max_search_dist_sq)
+    normal, q0, fit_ok = fit_plane_5nn(nbrs, ok, plane_thresh)
+    d = jnp.einsum("na,na->n", p_t - q0, normal)
+    src_norm = jnp.linalg.norm(src, axis=-1)
+    near_reject = src_norm < 81.0 * d * d
+    valid = src_mask & fit_ok & ~near_reject
+    return PlaneCorr(normal=normal, q0=q0, valid=valid)
+
+
+def point_to_plane_hg_corr(t_mat: jax.Array, src: jax.Array, corr: PlaneCorr) -> HG:
+    """Point-to-plane linearization (loam_point_to_plane_kdtree.h:260-272):
+    residual |d| with d = (p_t - q0).n;
+    J = [sign(d) (-hat(R p)^T n) | sign(d) n] (dx = [r, t])."""
+    r_mat = t_mat[:3, :3]
+    p_t = transform_points(t_mat, src)
+    d = jnp.einsum("na,na->n", p_t - corr.q0, corr.normal)
+    sign = jnp.where(d > 0, 1.0, -1.0).astype(src.dtype)
+    rp = src @ r_mat.T  # R p (no translation)
+    j_rot = -jnp.einsum(
+        "nij,nj->ni", jnp.swapaxes(so3_hat(rp), -1, -2), corr.normal
+    ) * sign[:, None]
+    j_tr = corr.normal * sign[:, None]
+    jac = jnp.concatenate([j_rot, j_tr], axis=-1)  # [N, 6]
+    return _reduce_scalar(jac, jnp.abs(d), corr.valid)
+
+
 def point_to_plane_hg(
     t_mat: jax.Array,
     src: jax.Array,
@@ -136,34 +233,21 @@ def point_to_plane_hg(
     stencil: str = "nearby26",
     num_probes: int = 8,
 ) -> HG:
-    """LOAM point-to-plane residual (loam_point_to_plane_kdtree.h:204-272).
-
-    5-NN plane fit; residual |d| with d = (p_t - q0).n; near-point rejection
-    ||p|| < 81 d^2; J = [sign(d) (-hat(R p)^T n) | sign(d) n] (dx = [r, t]).
-    """
-    r_mat = t_mat[:3, :3]
-    p_t = transform_points(t_mat, src)
-    nbrs, d2, ok = voxel_hash.query_knn(
-        m, p_t, inv_voxel_size, k=5, stencil=stencil, num_probes=num_probes
+    """One-shot gather + linearize (reference per-iteration semantics)."""
+    corr = point_to_plane_corr(
+        t_mat, src, src_mask, m, inv_voxel_size, plane_thresh,
+        max_search_dist_sq, stencil, num_probes,
     )
-    # reference gates on the 5th NN distance (loam_*_kdtree.h dist[4])
-    ok = ok & (d2 <= max_search_dist_sq)
-    normal, q0, fit_ok = fit_plane_5nn(nbrs, ok, plane_thresh)
-
-    d = jnp.einsum("na,na->n", p_t - q0, normal)
-    src_norm = jnp.linalg.norm(src, axis=-1)
-    near_reject = src_norm < 81.0 * d * d
-    valid = src_mask & fit_ok & ~near_reject
-
-    sign = jnp.where(d > 0, 1.0, -1.0).astype(src.dtype)
-    rp = src @ r_mat.T  # R p (no translation)
-    j_rot = -jnp.einsum("nij,nj->ni", jnp.swapaxes(so3_hat(rp), -1, -2), normal) * sign[:, None]
-    j_tr = normal * sign[:, None]
-    jac = jnp.concatenate([j_rot, j_tr], axis=-1)  # [N, 6]
-    return _reduce_scalar(jac, jnp.abs(d), valid)
+    return point_to_plane_hg_corr(t_mat, src, corr)
 
 
-def point_to_line_hg(
+class LineCorr(NamedTuple):
+    center: jax.Array  # [N, 3] 5-NN centroid
+    n_dir: jax.Array  # [N, 3] line direction (principal eigenvector)
+    valid: jax.Array  # [N]
+
+
+def point_to_line_corr(
     t_mat: jax.Array,
     src: jax.Array,
     src_mask: jax.Array,
@@ -173,18 +257,14 @@ def point_to_line_hg(
     max_search_dist_sq,
     stencil: str = "nearby26",
     num_probes: int = 8,
-) -> HG:
-    """LOAM point-to-line (corner) residual (loam_full_kdtree.h:211-273).
-
-    5-NN covariance; line direction = principal eigenvector, valid when
-    sigma0 > ratio * sigma1; residual |(p_t - c) x n|;
-    J = [ (hat(n) hat(R p))^T u | -hat(n)^T u ] with u the unit residual
-    direction (dx = [r, t]).
-    """
-    r_mat = t_mat[:3, :3]
+    group_capacity: int | None = None,
+) -> LineCorr:
+    """5-NN covariance line fit (loam_full_kdtree.h:211-260): line direction
+    = principal eigenvector, valid when sigma0 > ratio * sigma1."""
     p_t = transform_points(t_mat, src)
     nbrs, d2, ok = voxel_hash.query_knn(
-        m, p_t, inv_voxel_size, k=5, stencil=stencil, num_probes=num_probes
+        m, p_t, inv_voxel_size, k=5, stencil=stencil, num_probes=num_probes,
+        group_capacity=group_capacity,
     )
     all_ok = jnp.all(ok & (d2 <= max_search_dist_sq), axis=-1)
 
@@ -199,21 +279,91 @@ def point_to_line_hg(
     lams = sym3_eigvalsh(cov)
     line_ok = lams[:, 2] > line_ratio_thresh * lams[:, 1]
     n_dir = sym3_principal_eigvec(cov)
+    valid = src_mask & all_ok & line_ok
+    return LineCorr(center=center, n_dir=n_dir, valid=valid)
 
-    diff = p_t - center
-    cx = jnp.cross(diff, n_dir)
+
+def point_to_line_hg_corr(t_mat: jax.Array, src: jax.Array, corr: LineCorr) -> HG:
+    """Point-to-line linearization (loam_full_kdtree.h:261-273):
+    residual |(p_t - c) x n|; J = [ (hat(n) hat(R p))^T u | -hat(n)^T u ]
+    with u the unit residual direction (dx = [r, t])."""
+    r_mat = t_mat[:3, :3]
+    p_t = transform_points(t_mat, src)
+    diff = p_t - corr.center
+    cx = jnp.cross(diff, corr.n_dir)
     dist = jnp.linalg.norm(cx, axis=-1)
     safe = jnp.maximum(dist, 1e-9)
     u = cx / safe[:, None]
-
-    valid = src_mask & all_ok & line_ok & (dist > 1e-9)
+    valid = corr.valid & (dist > 1e-9)
 
     rp = src @ r_mat.T
-    n_hat = so3_hat(n_dir)
+    n_hat = so3_hat(corr.n_dir)
     j_rot = jnp.einsum("nji,nj->ni", n_hat @ so3_hat(rp), u)  # (hat(n) hat(Rp))^T u
     j_tr = jnp.einsum("nji,nj->ni", -n_hat, u)  # (-hat(n))^T u
     jac = jnp.concatenate([j_rot, j_tr], axis=-1)
     return _reduce_scalar(jac, dist, valid)
+
+
+def point_to_line_hg(
+    t_mat: jax.Array,
+    src: jax.Array,
+    src_mask: jax.Array,
+    m: voxel_hash.VoxelHashMap,
+    inv_voxel_size,
+    line_ratio_thresh,
+    max_search_dist_sq,
+    stencil: str = "nearby26",
+    num_probes: int = 8,
+) -> HG:
+    """One-shot gather + linearize (reference per-iteration semantics)."""
+    corr = point_to_line_corr(
+        t_mat, src, src_mask, m, inv_voxel_size, line_ratio_thresh,
+        max_search_dist_sq, stencil, num_probes,
+    )
+    return point_to_line_hg_corr(t_mat, src, corr)
+
+
+class NdtCorr(NamedTuple):
+    mu: jax.Array  # [N, 7, 3] voxel means
+    lam: jax.Array  # [N, 7, 3, 3] voxel information matrices
+    valid: jax.Array  # [N, 7]
+
+
+def ndt_corr(
+    t_mat: jax.Array,
+    src: jax.Array,
+    src_mask: jax.Array,
+    m: ndt.NdtMap,
+    inv_voxel_size,
+    outlier_thresh,
+) -> NdtCorr:
+    """7-voxel stencil Gaussian lookup + outlier gate evaluated at the
+    gather pose (incremental_ndt.h:252-266)."""
+    p_t = transform_points(t_mat, src)
+    mu, lam, valid_v = ndt.query_stencil(m, p_t, inv_voxel_size)  # [N,7,...]
+    err = p_t[:, None, :] - mu
+    res = jnp.einsum("nva,nvab,nvb->nv", err, lam, err)
+    valid = valid_v & src_mask[:, None] & (res <= outlier_thresh) & jnp.isfinite(res)
+    return NdtCorr(mu=mu, lam=lam, valid=valid)
+
+
+def ndt_hg_corr(t_mat: jax.Array, src: jax.Array, corr: NdtCorr) -> HG:
+    """NDT Mahalanobis linearization (incremental_ndt.h:267-304):
+    e = p_t - mu per stencil voxel; J = [-R hat(p) | I] (dx = [r, t])."""
+    r_mat = t_mat[:3, :3]
+    p_t = transform_points(t_mat, src)
+    err = p_t[:, None, :] - corr.mu  # [N, 7, 3]
+
+    jac = jnp.zeros(src.shape[:1] + (3, 6), src.dtype)
+    jac = jac.at[..., :3].set(-jnp.einsum("ij,njk->nik", r_mat, so3_hat(src)))
+    jac = jac.at[..., 3:].set(jnp.broadcast_to(jnp.eye(3, dtype=src.dtype), jac[..., 3:].shape))
+
+    n, v = err.shape[0], err.shape[1]
+    jac7 = jnp.broadcast_to(jac[:, None], (n, v, 3, 6)).reshape(n * v, 3, 6)
+    return _reduce_vec3(
+        jac7, err.reshape(n * v, 3), corr.lam.reshape(n * v, 3, 3),
+        corr.valid.reshape(n * v),
+    )
 
 
 def ndt_hg(
@@ -224,27 +374,9 @@ def ndt_hg(
     inv_voxel_size,
     outlier_thresh,
 ) -> HG:
-    """Incremental-NDT Mahalanobis residual over the 7-voxel stencil
-    (incremental_ndt.h:252-304).
-
-    For each of 7 neighbor voxels: e = p_t - mu, gated on e^T Λ e >
-    outlier_thresh; J = [-R hat(p) | I] (dx = [r, t]); reduce with Λ weights.
-    """
-    r_mat = t_mat[:3, :3]
-    p_t = transform_points(t_mat, src)
-    mu, lam, valid_v = ndt.query_stencil(m, p_t, inv_voxel_size)  # [N,7,...]
-
-    err = p_t[:, None, :] - mu  # [N, 7, 3]
-    res = jnp.einsum("nva,nvab,nvb->nv", err, lam, err)
-    valid = valid_v & src_mask[:, None] & (res <= outlier_thresh) & jnp.isfinite(res)
-
-    jac = jnp.zeros(src.shape[:1] + (3, 6), src.dtype)
-    jac = jac.at[..., :3].set(-jnp.einsum("ij,njk->nik", r_mat, so3_hat(src)))
-    jac = jac.at[..., 3:].set(jnp.broadcast_to(jnp.eye(3, dtype=src.dtype), jac[..., 3:].shape))
-
-    n, v = err.shape[0], err.shape[1]
-    jac7 = jnp.broadcast_to(jac[:, None], (n, v, 3, 6)).reshape(n * v, 3, 6)
-    return _reduce_vec3(jac7, err.reshape(n * v, 3), lam.reshape(n * v, 3, 3), valid.reshape(n * v))
+    """One-shot gather + linearize (reference per-iteration semantics)."""
+    corr = ndt_corr(t_mat, src, src_mask, m, inv_voxel_size, outlier_thresh)
+    return ndt_hg_corr(t_mat, src, corr)
 
 
 def merge_hg(*hgs: HG) -> HG:

@@ -13,9 +13,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# runnable as `python tools/profile_frontend.py` from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(fn, *args, n=20, warmup=3):
@@ -40,6 +45,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from funny_lidar_slam_tpu.core.cloud import Cloud
     from funny_lidar_slam_tpu.io.simulator import SimConfig, simulate
     from funny_lidar_slam_tpu.lidar.deskew import deskew
     from funny_lidar_slam_tpu.imu.preintegration import PreintParams, preintegrate
@@ -109,12 +115,17 @@ def main():
     q = jax.jit(lambda: voxel_hash.query_knn(
         m, src.points, 1.0 / mcfg.nn_voxel_size, k=1, stencil=mcfg.stencil,
         num_probes=mcfg.num_probes))
-    timings["query_knn_k1"] = timeit(q)
+    timings["query_knn_k1_direct"] = timeit(q)
+
+    qg = jax.jit(lambda: voxel_hash.query_knn(
+        m, src.points, 1.0 / mcfg.nn_voxel_size, k=1, stencil=mcfg.stencil,
+        num_probes=mcfg.num_probes, group_capacity=mcfg.group_capacity or None))
+    timings["query_knn_k1_grouped"] = timeit(qg)
 
     q5 = jax.jit(lambda: voxel_hash.query_knn(
         m, src.points, 1.0 / mcfg.nn_voxel_size, k=5, stencil="nearby18",
         num_probes=mcfg.num_probes))
-    timings["query_knn_k5"] = timeit(q5)
+    timings["query_knn_k5_direct"] = timeit(q5)
 
     t0 = fstate.nav.pose
     hg = jax.jit(lambda: point_to_point_hg(
@@ -122,20 +133,36 @@ def main():
         mcfg.max_correspond_distance ** 2, mcfg.stencil, mcfg.num_probes))
     timings["hg_point_to_point"] = timeit(hg)
 
+    # the REAL registration path: matcher.match with the two-loop cached GN
+    # + grouped gathers (map insertion cond usually not taken at this frame)
+    mm = jax.jit(lambda t: slam.matcher.match(mstate, Cloud(pts, mask), t))
+    _, r = mm(t0)
+    timings["gn_matcher_match"] = timeit(mm, t0)
+    iters = int(r.iters)
+
+    # legacy reference-semantics GN (gather every iteration, direct queries)
     gn = jax.jit(lambda: run_gn(
         lambda t: point_to_point_hg(
             t, src.points, src.mask, m, 1.0 / mcfg.nn_voxel_size,
             mcfg.max_correspond_distance ** 2, mcfg.stencil, mcfg.num_probes),
-        t0, slam.matcher.gn_cfg))
-    r = gn()
-    timings["gn_full"] = timeit(gn)
-    iters = int(r.iters)
+        t0, slam.matcher.gn_cfg._replace(corr_every=1)))
+    timings["gn_uncached_direct"] = timeit(gn)
+
+    # per-frame tight fusion in isolation
+    from funny_lidar_slam_tpu.fusion.tight import fuse as tight_fuse
+    from funny_lidar_slam_tpu.imu.preintegration import predict as preint_predict
+    pre_v = pre()
+    grav = jnp.asarray(cfg.frontend.gravity, jnp.float32)
+    pred_v = preint_predict(pre_v, fstate.nav, grav)
+    tf = jax.jit(lambda: tight_fuse(
+        fstate.nav, pre_v, t0, pred_v, grav, cfg.frontend.fusion))
+    timings["tight_fuse"] = timeit(tf)
 
     wa = jax.jit(lambda: matchers.window_add(
-        mstate, __import__("funny_lidar_slam_tpu.core.cloud", fromlist=["Cloud"]).Cloud(src.points, src.mask),
+        mstate, Cloud(src.points, src.mask),
         t0, mcfg.map_filter_size, 1.0 / mcfg.nn_voxel_size, mcfg.merged_capacity,
         mcfg.num_probes))
-    timings["window_add_rebuild"] = timeit(wa, n=10)
+    timings["window_add"] = timeit(wa, n=10)
 
     # host feed overhead: pad + segment fetch
     t0h = time.perf_counter()
@@ -152,7 +179,7 @@ def main():
         print(f"trace written to {args.trace}")
 
     report = {k: round(v * 1e3, 3) for k, v in sorted(timings.items(), key=lambda kv: -kv[1])}
-    report["gn_iters_at_profile"] = iters
+    report["gn_gathers_at_profile"] = iters
     report["est_fps_full_step"] = round(1.0 / timings["full_step"], 2)
     print(json.dumps(report, indent=2))
 
