@@ -1,4 +1,4 @@
-"""ROS1 bag reading (optional dependency: `rosbags`).
+"""ROS1 bag replay — native, dependency-free.
 
 Offline replacement for the reference's live ROS subscribers
 (System::InitSubscriber, src/slam/system.cpp:276-293 — standard
@@ -6,9 +6,9 @@ PointCloud2 vs Livox CustomMsg, plus sensor_msgs/Imu): iterates a bag in
 time order yielding ("imu", t, gyro, accel, quat|None) and ("scan", RawScan)
 events ready for SlamSystem.push_imu / process_scan.
 
-The `rosbags` package is not bundled in every image; import errors surface
-lazily with a clear message. All decoding beyond message framing lives in
-io.pointcloud2 + io.formats, which are dependency-free.
+Bag container parsing + message deserialization live in `bag_format`
+(pure stdlib/numpy); vendor point-struct decoding lives in
+io.pointcloud2 + io.formats.
 """
 
 from __future__ import annotations
@@ -18,32 +18,21 @@ from typing import Iterator
 import numpy as np
 
 from ..lidar.model import LidarModel
-from . import formats, pointcloud2
+from . import bag_format, formats, pointcloud2
 
 
-def _require_rosbags():
-    try:
-        from rosbags.highlevel import AnyReader  # type: ignore
-
-        return AnyReader
-    except ImportError as e:  # pragma: no cover - environment dependent
-        raise ImportError(
-            "bag reading requires the `rosbags` package "
-            "(pip install rosbags); offline datasets can instead be fed "
-            "through SlamSystem.process_scan directly"
-        ) from e
-
-
-def _decode_livox_custom(msg) -> np.ndarray:
+def _livox_to_structured(msg: bag_format.LivoxCustomMsg) -> np.ndarray:
     """livox_ros_driver/CustomMsg -> structured array with the avia fields
     (include/3rd/livox_ros_driver CustomMsg/CustomPoint)."""
-    n = len(msg.points)
-    arr = np.zeros(n, np.dtype([
+    p = msg.points
+    arr = np.zeros(len(p), np.dtype([
         ("x", "f4"), ("y", "f4"), ("z", "f4"), ("intensity", "f4"),
         ("line", "u1"), ("tag", "u1"), ("time", "f8"),
     ]))
-    for i, p in enumerate(msg.points):
-        arr[i] = (p.x, p.y, p.z, p.reflectivity, p.line, p.tag, p.offset_time)
+    arr["x"], arr["y"], arr["z"] = p["x"], p["y"], p["z"]
+    arr["intensity"] = p["reflectivity"]
+    arr["line"], arr["tag"] = p["line"], p["tag"]
+    arr["time"] = p["offset_time"].astype(np.float64)  # ns offsets
     return arr
 
 
@@ -51,36 +40,22 @@ def read_bag(path: str, lidar_topic: str, imu_topic: str, lidar_type: str,
              time_scale: float = 1.0, model: LidarModel | None = None,
              lidar_rate: float = 10.0) -> Iterator[tuple]:
     """Yield ("imu", t, gyro, accel, quat) and ("scan", RawScan) in time order."""
-    AnyReader = _require_rosbags()
-    from pathlib import Path
-
-    with AnyReader([Path(path)]) as reader:
-        conns = [c for c in reader.connections if c.topic in (lidar_topic, imu_topic)]
-        for conn, timestamp, raw in reader.messages(connections=conns):
-            msg = reader.deserialize(raw, conn.msgtype)
-            t = timestamp * 1e-9
-            if conn.topic == imu_topic:
-                quat = None
-                o = getattr(msg, "orientation", None)
-                if o is not None and (o.w, o.x, o.y, o.z) != (0.0, 0.0, 0.0, 0.0):
-                    quat = np.array([o.w, o.x, o.y, o.z])
-                yield (
-                    "imu", t,
-                    np.array([msg.angular_velocity.x, msg.angular_velocity.y,
-                              msg.angular_velocity.z]),
-                    np.array([msg.linear_acceleration.x, msg.linear_acceleration.y,
-                              msg.linear_acceleration.z]),
-                    quat,
-                )
-            else:
-                stamp = msg.header.stamp.sec + msg.header.stamp.nanosec * 1e-9
-                if conn.msgtype.endswith("CustomMsg"):
-                    arr = _decode_livox_custom(msg)
-                else:
-                    arr = pointcloud2.decode(
-                        msg.fields, msg.point_step, bytes(msg.data),
-                        is_bigendian=bool(msg.is_bigendian),
-                    )
-                scan = formats.convert(lidar_type, arr, stamp, time_scale,
-                                       model, lidar_rate)
-                yield ("scan", scan)
+    reader = bag_format.BagReader(path)
+    for m in reader.messages(topics={lidar_topic, imu_topic}):
+        if m.topic == imu_topic:
+            imu = bag_format.deserialize_imu(m.raw)
+            t = imu.stamp if imu.stamp > 0 else m.t
+            yield ("imu", t, imu.gyro, imu.accel, imu.quat)
+        elif m.msgtype.endswith("CustomMsg"):
+            livox = bag_format.deserialize_livox(m.raw)
+            arr = _livox_to_structured(livox)
+            scan = formats.convert(lidar_type, arr, livox.stamp, time_scale,
+                                   model, lidar_rate)
+            yield ("scan", scan)
+        else:
+            pc = bag_format.deserialize_pointcloud2(m.raw)
+            arr = pointcloud2.decode(pc.fields, pc.point_step, pc.data,
+                                     is_bigendian=pc.is_bigendian)
+            scan = formats.convert(lidar_type, arr, pc.stamp, time_scale,
+                                   model, lidar_rate)
+            yield ("scan", scan)

@@ -24,6 +24,26 @@ def write_tum(path: str, times, poses) -> None:
             )
 
 
+def read_tum(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Read a TUM trajectory -> (times [K], poses [K, 4, 4])."""
+    from ..core.lie import quat_to_mat
+    import jax.numpy as jnp
+
+    times, poses = [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            t, x, y, z, qx, qy, qz, qw = map(float, line.split())
+            p = np.eye(4)
+            p[:3, :3] = np.asarray(quat_to_mat(jnp.asarray([qw, qx, qy, qz])))
+            p[:3, 3] = [x, y, z]
+            times.append(t)
+            poses.append(p)
+    return np.asarray(times), np.asarray(poses)
+
+
 def umeyama_alignment(est: np.ndarray, gt: np.ndarray):
     """SE(3) alignment (no scale) of est -> gt. Inputs [K, 3]."""
     mu_e, mu_g = est.mean(0), gt.mean(0)
