@@ -160,13 +160,24 @@ def parse_config(doc: dict) -> SlamConfig:
 
     lidar_type = str(_get(lidar, "lidar_sensor_type", "None"))
     model_overrides = {}
+    # both our names (radians) and the reference's config keys (degrees,
+    # converted like System::InitLidarModel, system.cpp:105-112; h_res
+    # derived from the horizon scan count) for the "None" model
     for src_key, dst_key in (("lidar_vertical_scan_num", "vertical_scan_num"),
+                             ("lidar_scan", "vertical_scan_num"),
                              ("lidar_horizon_scan_num", "horizon_scan_num"),
+                             ("lidar_horizon_scan", "horizon_scan_num"),
                              ("lidar_vertical_resolution", "v_res"),
                              ("lidar_horizontal_resolution", "h_res"),
                              ("lidar_lower_angle", "lower_angle")):
         if src_key in lidar:
             model_overrides[dst_key] = lidar[src_key]
+    if "lidar_vertical_resolution" in lidar:
+        model_overrides["v_res"] = float(np.radians(lidar["lidar_vertical_resolution"]))
+    if "lidar_lower_angle" in lidar:
+        model_overrides["lower_angle"] = float(np.radians(lidar["lidar_lower_angle"]))
+    if "lidar_horizon_scan" in lidar and "lidar_horizontal_resolution" not in lidar:
+        model_overrides["h_res"] = float(np.radians(360.0 / float(lidar["lidar_horizon_scan"])))
     lidar_model = make_lidar_model(lidar_type, **model_overrides)
 
     t_l2i = np.asarray(_get(calib, "lidar_to_imu",

@@ -21,7 +21,9 @@ def _all_presets():
 
 
 def test_presets_exist():
-    assert len(_all_presets()) >= 8
+    # full preset parity with the reference: 12 mapping + 5 localization
+    # (config/mapping/*, config/localization/*) + our extra tile-map preset
+    assert len(_all_presets()) >= 18
 
 
 @pytest.mark.parametrize("path", _all_presets())
@@ -42,6 +44,19 @@ def test_preset_parses_and_builds(path):
         lcfg = make_localization_config(cfg)
         assert lcfg.map_path or lcfg.tile_map_dir
         assert matcher.cfg.is_localization_mode
+
+
+def test_turing_none_model_geometry():
+    """The reference's None-model keys are degrees and h_res derives from
+    the horizon scan count (System::InitLidarModel, system.cpp:105-112)."""
+    cfg = load_config(os.path.join(CONFIG_DIR, "mapping", "config_turing.yaml"))
+    m = cfg.lidar_model
+    assert m.lidar_type == "None"
+    assert m.vertical_scan_num == 16
+    assert m.horizon_scan_num == 1800
+    assert m.v_res == pytest.approx(np.radians(2.0))
+    assert m.lower_angle == pytest.approx(np.radians(15.0))
+    assert m.h_res == pytest.approx(np.radians(0.2))
 
 
 def test_m2dgr_preset_values():
