@@ -82,9 +82,16 @@ def fingerprint(coords: jax.Array) -> jax.Array:
 
 # Probe window width: probing reads `fpwin[base]` — ONE wide row gather —
 # instead of `num_probes` scalar gathers of fp. XLA TPU gathers pay per ROW,
-# so [N] row-gathers of 8 u32 are ~15x faster than [N, 8] element-gathers
+# so [N] row-gathers of a few u32 are ~15x faster than element-gathers
 # (measured 36 ms -> 2.5 ms for the 16k x 27-stencil probe on v5e).
-PROBE_WINDOW = 8
+#
+# Width 16 leaves headroom above the matchers' default num_probes=8: linear
+# probing with an 8-probe cap silently drops inserts when clustering rises
+# (measured 0.5% loss at 0.59 load with 8 probes); callers that see high
+# load factors can raise num_probes up to 16 without a layout change. Query
+# cost scales with num_probes (the row is sliced to [:num_probes]), not
+# with the window width.
+PROBE_WINDOW = 16
 
 
 def _window(arr: jax.Array, width: int = PROBE_WINDOW) -> jax.Array:
@@ -179,8 +186,11 @@ def insert(
     `count + rank`, dropping overflow beyond the bucket size.
 
     `max_age > 0` enables age-based eviction: slots untouched for more than
-    `max_age` epochs are treated as reclaimable (TPU equivalent of LRU
-    capacity eviction).
+    `max_age` epochs are PURGED up front (fp/count zeroed, one elementwise
+    pass over the table — no gathers) so expired voxels neither match in
+    queries nor block new claims (TPU equivalent of LRU capacity eviction,
+    and of the sliding-window map dropping evicted scans,
+    icp_optimized.h:173-186).
 
     `center_policy=True` applies the iVox selective-insert rule: a point is
     dropped when its voxel already holds a point closer to the voxel center
@@ -188,6 +198,14 @@ def insert(
     inserting the batch's closest-to-center point first).
     """
     epoch = m.epoch + 1
+    if max_age > 0:
+        expired = (m.fp != 0) & ((epoch - m.age) > max_age)
+        fp_purged = jnp.where(expired, jnp.uint32(0), m.fp)
+        m = m._replace(
+            fp=fp_purged,
+            fpwin=_window(fp_purged),
+            count=jnp.where(expired, 0, m.count),
+        )
     g = group_by_voxel(points, mask, inv_voxel_size)
     n = points.shape[0]
     cap = m.capacity
@@ -199,9 +217,6 @@ def insert(
     rep_valid = jnp.arange(n) < g.num_groups
 
     slots, match, empty = _probe_slots(m, rep_coords, num_probes)
-    if max_age > 0:
-        expired = ~empty & ((epoch - m.age[slots]) > max_age)
-        empty = empty | expired
 
     has_match = jnp.any(match, axis=-1)
     match_slot = jnp.take_along_axis(
@@ -395,3 +410,10 @@ def query_knn(
 
 def num_occupied(m: VoxelHashMap) -> jax.Array:
     return jnp.sum(m.occupied.astype(jnp.int32))
+
+
+def load_factor(m: VoxelHashMap) -> jax.Array:
+    """Occupied fraction of the table. Above ~0.6, linear probing with the
+    default num_probes=8 starts dropping inserts — size `capacity` so the
+    steady-state map stays below that, or raise num_probes (<= PROBE_WINDOW)."""
+    return num_occupied(m) / m.capacity

@@ -126,12 +126,33 @@ class Frontend:
         )
         self._step = jax.jit(self._step_impl)
         self._init_step = jax.jit(self._init_impl)
+        self._init_at_step = jax.jit(self._init_at_impl)
 
     # -- first frame: init odometer + seed map (frontend.cpp:177-183) --
     def _init_impl(self, mstate, points, rel_times, mask, ref_time, segment: ImuSegment, ring):
         n_seg = jnp.sum(segment.mask, dtype=jnp.int32)
         q_last = segment.quat[jnp.maximum(n_seg - 1, 0)]
         nav = initial_nav_state(q_last, self.dtype)
+        return self._init_from_nav(mstate, nav, points, rel_times, mask,
+                                   ref_time, segment, ring)
+
+    def _init_at_impl(self, mstate, pose, points, rel_times, mask, ref_time,
+                      segment: ImuSegment, ring):
+        """Init at a GIVEN pose (mapping resume: continue from the last
+        keyframe's pose instead of the IMU orientation; velocity/biases
+        restart at zero with the first-frame prior)."""
+        nav = initial_nav_state(segment.quat[0], self.dtype)
+        nav = nav._replace(r=pose[:3, :3].astype(self.dtype),
+                           p=pose[:3, 3].astype(self.dtype))
+        # unlike the standstill first-frame init, a resumed run may be in
+        # motion: loosen the zero-velocity prior (std 0.01 -> 1.0 m/s)
+        info = nav.info.at[3:6, 3:6].set(jnp.eye(3, dtype=self.dtype))
+        nav = nav._replace(info=info)
+        return self._init_from_nav(mstate, nav, points, rel_times, mask,
+                                   ref_time, segment, ring)
+
+    def _init_from_nav(self, mstate, nav, points, rel_times, mask, ref_time,
+                       segment: ImuSegment, ring):
         if self.cfg.fusion_method == FUSION_TIGHT_KF:
             # in KF mode the info slot stores the error COVARIANCE
             nav = nav._replace(info=eskf.create(nav).cov)
@@ -281,6 +302,15 @@ class Frontend:
         return self._init_step(
             mstate, scan_points, rel_times, mask, jnp.asarray(ref_time, self.dtype),
             segment, ring,
+        )
+
+    def init_frame_at(self, mstate, pose, scan_points, rel_times, mask,
+                      ref_time, segment, ring=None):
+        """Init at a given world pose (mapping resume)."""
+        ring = self._default_ring(scan_points) if ring is None else ring
+        return self._init_at_step(
+            mstate, jnp.asarray(pose, self.dtype), scan_points, rel_times, mask,
+            jnp.asarray(ref_time, self.dtype), segment, ring,
         )
 
     def step(self, mstate, fstate, scan_points, rel_times, mask, ref_time, deskew_seg,

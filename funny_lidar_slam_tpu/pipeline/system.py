@@ -117,6 +117,66 @@ class SlamSystem:
         self.loop_closer = LoopCloser(cfg.loopclosure) if cfg.enable_loopclosure else None
         self._last_kf_odom_pose: np.ndarray | None = None
         self.loop_results: list = []
+        self._resume_pose: np.ndarray | None = None
+
+    @classmethod
+    def resume(cls, cfg: SystemConfig, keyframe_dir: str | None = None) -> "SlamSystem":
+        """Resume mapping from a persisted keyframe store (SURVEY.md §5.4 —
+        the reference cannot resume a mapping run; its keyframe PCDs,
+        keyframe.h:59-94, only feed loop closure and save-map).
+
+        Rebuilds: the keyframe store, the pose graph (vertices at saved
+        poses + consecutive odometry edges — loop corrections are already
+        folded into the saved poses), the matcher's local map (re-inserting
+        the most recent keyframe clouds at their poses), and arms the
+        frontend to initialize at the last keyframe pose on the next scan.
+        The IMU stream restarts (static-init or orientation) exactly like a
+        fresh start; feed data from after the last keyframe timestamp."""
+        slam = cls(cfg)
+        kf_dir = keyframe_dir or cfg.keyframe_save_dir
+        if not kf_dir:
+            raise ValueError("resume requires a keyframe directory")
+        slam.keyframes = KeyFrameStore.load(kf_dir)
+        slam.keyframes.save_dir = cfg.keyframe_save_dir
+        if len(slam.keyframes) == 0:
+            return slam
+
+        prev = None
+        for kf in slam.keyframes.frames:
+            odom = None if prev is None else np.linalg.inv(prev) @ kf.pose
+            slam.graph.add_vertex(kf.pose, odom)
+            prev = kf.pose
+
+        # reseed the local map from the most recent keyframes (window-sized)
+        mcfg = slam.matcher.cfg
+        n_seed = int(getattr(mcfg, "local_map_size", 0) or
+                     getattr(mcfg, "planar_map_size", 0) or 10)
+        cap = slam.cfg.scan_capacity
+        for kf in slam.keyframes.frames[-n_seed:]:
+            if kf.planar is not None and hasattr(slam.matcher, "cfg") and \
+                    getattr(mcfg, "corner_capacity", None) is not None:
+                from ..core.cloud import Cloud as _Cloud
+                cpts, _, cmask = pad_scan(kf.corner, np.zeros(len(kf.corner)),
+                                          getattr(mcfg, "corner_capacity", cap))
+                ppts, _, pmask = pad_scan(kf.planar, np.zeros(len(kf.planar)),
+                                          getattr(mcfg, "planar_capacity", cap))
+                slam.mstate = slam.matcher.add_first(
+                    slam.mstate, _Cloud(cpts, cmask), _Cloud(ppts, pmask), kf.pose)
+            else:
+                from ..core.cloud import Cloud as _Cloud
+                pts, _, msk = pad_scan(kf.cloud, np.zeros(len(kf.cloud)), cap)
+                slam.mstate = slam.matcher.add_first(
+                    slam.mstate, _Cloud(pts, msk), kf.pose)
+
+        last = slam.keyframes.frames[-1]
+        slam._resume_pose = last.pose.copy()
+        slam._last_kf_odom_pose = last.pose.copy()
+        # the resumed run may be in motion: skip the standstill static init
+        # (the reference's re-init path, system.cpp:437-446, also proceeds
+        # without standstill); gravity uses the config's world-frame value
+        slam.imu.require_static_init = False
+        slam.imu.initialized = True
+        return slam
 
     def push_imu(self, t, gyro, accel, quat=None):
         self.imu.push(t, gyro, accel, quat)
@@ -131,8 +191,14 @@ class SlamSystem:
         rpy = np.abs(np.asarray(rotation_to_rpy(jnp.asarray(accum[:3, :3]))))
         return d > self.cfg.keyframe_delta_dist or (rpy > self.cfg.keyframe_delta_rotation).any()
 
-    def process_scan(self, t_start: float, scan_end: float, points, rel_times) -> dict | None:
-        """Feed one scan. Returns a stats dict (pose etc.) or None if skipped
+    def dispatch_scan(self, t_start: float, scan_end: float, points, rel_times) -> dict | None:
+        """Phase 1 of a scan: host prep + ENQUEUE the jitted frontend step.
+
+        Returns a pending record of device arrays without forcing any
+        device->host transfer (JAX dispatch is async, so the step executes
+        while the host preps the next scan — the TPU-native equivalent of the
+        reference's preprocessing/frontend thread overlap,
+        src/slam/system.h:163-187). Returns None if the scan is skipped
         (IMU not initialized / coverage missing, preprocessing.cpp:124-142)."""
         if not self.imu.initialized or not self.imu.covers(t_start, scan_end):
             return None
@@ -146,36 +212,60 @@ class SlamSystem:
 
         t0 = time.perf_counter()
         if self.fstate is None:
-            # deskew reference = scan end; first frame seeds the map there
-            self.mstate, self.fstate, (dpts, dmask) = self.frontend.init_frame(
-                self.mstate, pts, rts - (scan_end - t_start), mask, scan_end, dseg
-            )
-            pose = np.asarray(self.fstate.nav.pose)
+            if self._resume_pose is not None:
+                # resume: init at the last persisted keyframe pose
+                self.mstate, self.fstate, (dpts, dmask) = self.frontend.init_frame_at(
+                    self.mstate, self._resume_pose, pts,
+                    rts - (scan_end - t_start), mask, scan_end, dseg,
+                )
+            else:
+                # deskew reference = scan end; first frame seeds the map there
+                self.mstate, self.fstate, (dpts, dmask) = self.frontend.init_frame(
+                    self.mstate, pts, rts - (scan_end - t_start), mask, scan_end, dseg
+                )
+            self._last_scan_end = scan_end
+            return {"init": True, "t": scan_end, "t0": t0,
+                    "pose_dev": self.fstate.nav.pose, "out": None,
+                    "dpts": dpts, "dmask": dmask}
+
+        prev_end = self._last_scan_end if self._last_scan_end is not None else t_start
+        preint_seg = self.imu.get_segment(prev_end, scan_end, cap)
+        if preint_seg is None:
+            return None
+        pseg = to_device_segment(preint_seg)
+        self.mstate, self.fstate, out = self.frontend.step(
+            self.mstate, self.fstate, pts, rts - (scan_end - t_start), mask,
+            scan_end, dseg, pseg,
+        )
+        self._last_scan_end = scan_end
+        return {"init": False, "t": scan_end, "t0": t0,
+                "pose_dev": out.pose, "out": out,
+                "dpts": out.points, "dmask": out.mask}
+
+    def retire_scan(self, pending: dict) -> dict:
+        """Phase 2: materialize a dispatched scan's outputs on host and run
+        the keyframe policy (System::ProcessMappingFrameCache,
+        system.cpp:627-689). Blocks until the device step finishes."""
+        scan_end = pending["t"]
+        pose = np.asarray(pending["pose_dev"])  # syncs; everything else ready
+        out = pending["out"]
+        if pending["init"]:
             converged = True
             stats = {"init": True}
         else:
-            prev_end = self._last_scan_end if self._last_scan_end is not None else t_start
-            preint_seg = self.imu.get_segment(prev_end, scan_end, cap)
-            if preint_seg is None:
-                return None
-            pseg = to_device_segment(preint_seg)
-            self.mstate, self.fstate, out = self.frontend.step(
-                self.mstate, self.fstate, pts, rts - (scan_end - t_start), mask,
-                scan_end, dseg, pseg,
-            )
-            pose = np.asarray(out.pose)
             converged = bool(out.converged)
-            dpts, dmask = out.points, out.mask
             stats = {
                 "init": False,
                 "num_valid": int(out.num_valid),
                 "iters": int(out.iters),
             }
             self._accum_delta = self._accum_delta @ np.asarray(out.delta_pose)
-        elapsed = time.perf_counter() - t0
-
-        self._last_scan_end = scan_end
-        stats.update({"t": scan_end, "pose": pose, "converged": converged, "wall": elapsed})
+        tr = time.perf_counter()
+        # `wall` spans dispatch->retire (includes pipeline overlap; per-frame
+        # latency); `tr` is the retire timestamp — steady-state throughput is
+        # (n-k)/(tr[n]-tr[k]), robust under the depth-1 pipeline
+        stats.update({"t": scan_end, "pose": pose, "converged": converged,
+                      "wall": tr - pending["t0"], "tr": tr})
 
         if converged:
             self.trajectory_t.append(scan_end)
@@ -186,7 +276,7 @@ class SlamSystem:
                 # persist the DESKEWED body-frame cloud (the reference saves
                 # processed clouds per keyframe, keyframe.h:59-94) so submaps
                 # and map products are frame-consistent with the fused pose
-                kf_cloud = np.asarray(dpts)[np.asarray(dmask)]
+                kf_cloud = np.asarray(pending["dpts"])[np.asarray(pending["dmask"])]
                 self.keyframes.add(
                     KeyFrame(
                         kf_id=kf_id,
@@ -199,6 +289,14 @@ class SlamSystem:
                 self._on_keyframe(kf_id, pose)
         self.stats.append(stats)
         return stats
+
+    def process_scan(self, t_start: float, scan_end: float, points, rel_times) -> dict | None:
+        """Synchronous feed (dispatch + retire). `run_dataset` pipelines the
+        two phases instead for host/device overlap."""
+        pending = self.dispatch_scan(t_start, scan_end, points, rel_times)
+        if pending is None:
+            return None
+        return self.retire_scan(pending)
 
     def _on_keyframe(self, kf_id: int, odom_pose: np.ndarray) -> None:
         # pose-graph vertex + odometry edge (system.cpp:647-671); the edge
@@ -267,6 +365,11 @@ class SlamSystem:
         n_imu = len(dataset.imu_t)
         results = []
         scans = dataset.scans[:max_scans] if max_scans else dataset.scans
+        # depth-1 software pipeline: dispatch scan k (async on device), then
+        # retire scan k-1 — the host-side keyframe policy and stats drain
+        # overlap with the device computing scan k (the reference overlaps
+        # these with threads, system.h:163-187)
+        pending = None
         for k, scan in enumerate(scans):
             scan_end = scan.t + scan_period
             while imu_idx < n_imu and dataset.imu_t[imu_idx] <= scan_end + 0.05:
@@ -276,11 +379,14 @@ class SlamSystem:
                     dataset.imu_accel[imu_idx],
                 )
                 imu_idx += 1
-            r = self.process_scan(scan.t, scan_end, scan.points, scan.rel_times)
-            if r is not None:
-                results.append(r)
+            nxt = self.dispatch_scan(scan.t, scan_end, scan.points, scan.rel_times)
+            if pending is not None:
+                results.append(self.retire_scan(pending))
+            pending = nxt
             if progress and k % 20 == 0:
                 print(f"scan {k}/{len(scans)}", flush=True)
+        if pending is not None:
+            results.append(self.retire_scan(pending))
         return {
             "poses": np.asarray(self.trajectory),
             "times": np.asarray(self.trajectory_t),

@@ -41,15 +41,13 @@ from .gn import (
 )
 from .residuals import (
     fitness_score,
+    gather_candidates,
     merge_hg,
     ndt_corr,
     ndt_hg_corr,
-    point_to_line_corr,
-    point_to_line_hg_corr,
-    point_to_plane_corr,
-    point_to_plane_hg_corr,
-    point_to_point_corr,
-    point_to_point_hg_corr,
+    point_to_line_hg_cand,
+    point_to_plane_hg_cand,
+    point_to_point_hg_cand,
 )
 
 
@@ -76,11 +74,16 @@ class WindowMapState(NamedTuple):
     last_added: jax.Array  # [4, 4]
 
 
-def window_create(window_size, cloud_cap, map_capacity, bucket, dtype=jnp.float32):
+def window_create(window_size, cloud_cap, map_capacity, bucket,
+                  dtype=jnp.float32, incremental=False):
+    # the incremental policy never re-reads the inserted clouds, so the ring
+    # buffers collapse to 1-element placeholders (saves W*cap*16 bytes of HBM
+    # and the per-insert ring scatter)
+    w, cap = (1, 1) if incremental else (window_size, cloud_cap)
     return WindowMapState(
         m=voxel_hash.create(map_capacity, bucket, dtype),
-        window_pts=jnp.zeros((window_size, cloud_cap, 3), dtype),
-        window_mask=jnp.zeros((window_size, cloud_cap), bool),
+        window_pts=jnp.zeros((w, cap, 3), dtype),
+        window_mask=jnp.zeros((w, cap), bool),
         head=jnp.zeros((), jnp.int32),
         filled=jnp.zeros((), jnp.int32),
         last_added=jnp.eye(4, dtype=dtype),
@@ -95,9 +98,28 @@ def window_add(
     nn_inv_voxel,
     merged_capacity,
     num_probes: int = 8,
+    window_size: int = 0,
 ):
-    """Push a world-frame cloud and rebuild the hash map from the merged,
-    voxel-filtered window (the kdtree-rebuild equivalent)."""
+    """Push a world-frame cloud into the sliding-window map.
+
+    Rebuild policy (`window_size == 0`, the reference's exact semantics):
+    merge the ring buffer of the last W clouds, voxel-filter, rebuild the
+    hash from scratch — the kdtree-rebuild of icp_optimized.h:165-189.
+
+    Incremental policy (`window_size > 0`): voxel-filter only the NEW cloud
+    and scatter-insert it with `max_age=window_size` epoch eviction — voxels
+    still observed within the last W insertions stay, unobserved voxels are
+    purged, which is the window semantics at voxel instead of scan
+    granularity. Replaces the O(window) rebuild (52 ms at 131k pts on v5e)
+    with an O(scan) insert (~5 ms)."""
+    if window_size > 0:
+        cap = cloud_world.points.shape[0]
+        ds = voxel_downsample(cloud_world.points, cloud_world.mask,
+                              map_filter_size, cap)
+        m = voxel_hash.insert(s.m, ds.points, ds.mask, nn_inv_voxel,
+                              num_probes=num_probes, max_age=window_size)
+        return s._replace(m=m, last_added=t_mat,
+                          filled=jnp.minimum(s.filled + 1, window_size))
     w = s.window_pts.shape[0]
     window_pts = s.window_pts.at[s.head].set(cloud_world.points)
     window_mask = s.window_mask.at[s.head].set(cloud_world.mask)
@@ -143,8 +165,17 @@ class IcpConfig(NamedTuple):
     stencil: str = "nearby26"
     num_probes: int = 8
     is_localization_mode: bool = False
-    # two-loop GN schedule (gn.run_gn_corr): re-gather matches every k iters
-    corr_every: int = 4
+    # incremental window policy: insert only the new cloud with
+    # max_age=local_map_size epoch eviction instead of rebuilding the hash
+    # from the merged window every insertion (window_add docstring)
+    incremental_map: bool = True
+    # candidate-cache GN schedule (gn.run_gn_corr + residuals.CandSet): one
+    # stencil gather caches the cand_k nearest candidates per point; the
+    # iterations in between re-select the exact NN among them at the current
+    # pose (selection stays exact while the pose moves less than the
+    # candidate margin), so the expensive gather runs ~3x per solve
+    corr_every: int = 10
+    cand_k: int = 16
     # voxel-deduplicated stencil gather (query_knn group path): one stencil
     # lookup per unique query voxel instead of per point (0 = direct). At
     # source_filter 0.4 / nn_voxel 1.0 a 16k scan hits ~5.6k unique voxels —
@@ -169,7 +200,9 @@ class IcpMatcher:
 
     def create_state(self) -> WindowMapState:
         c = self.cfg
-        return window_create(c.local_map_size, c.cloud_capacity, c.map_capacity, c.bucket_size, self.dtype)
+        return window_create(c.local_map_size, c.cloud_capacity, c.map_capacity,
+                             c.bucket_size, self.dtype,
+                             incremental=c.incremental_map)
 
     def _source(self, cloud: Cloud) -> Cloud:
         c = self.cfg
@@ -184,14 +217,14 @@ class IcpMatcher:
         gc = c.group_capacity or None
 
         def corr_fn(t_mat):
-            return point_to_point_corr(
-                t_mat, src.points, src.mask, s.m, inv,
-                c.max_correspond_distance**2, c.stencil, c.num_probes,
-                group_capacity=gc,
+            return gather_candidates(
+                t_mat, src.points, src.mask, s.m, inv, c.cand_k,
+                c.stencil, c.num_probes, group_capacity=gc,
             )
 
-        def hg_fn(t_mat, corr):
-            return point_to_point_hg_corr(t_mat, src.points, corr)
+        def hg_fn(t_mat, cand):
+            return point_to_point_hg_cand(
+                t_mat, src.points, cand, c.max_correspond_distance**2)
 
         res = run_gn_corr(corr_fn, hg_fn, t_init, self.gn_cfg)
 
@@ -205,7 +238,8 @@ class IcpMatcher:
         def add(s):
             world = transform_cloud(res.t_mat, src)
             return window_add(s, world, res.t_mat, c.map_filter_size, inv,
-                              c.merged_capacity, c.num_probes)
+                              c.merged_capacity, c.num_probes,
+                              window_size=c.local_map_size if c.incremental_map else 0)
 
         s = jax.lax.cond(do_add, add, lambda s: s, s)
         return s, res
@@ -218,7 +252,8 @@ class IcpMatcher:
         src = self._source(cloud)
         world = transform_cloud(t_mat, src)
         return window_add(s, world, t_mat, c.map_filter_size, 1.0 / c.nn_voxel_size,
-                          c.merged_capacity, c.num_probes)
+                          c.merged_capacity, c.num_probes,
+                          window_size=c.local_map_size if c.incremental_map else 0)
 
     def fitness(self, s: WindowMapState, cloud: Cloud, t_mat, max_range=1.0):
         t_mat = jnp.asarray(t_mat, self.dtype)
@@ -269,10 +304,12 @@ class PointToPlaneConfig(NamedTuple):
     map_capacity: int = 262144
     bucket_size: int = 8
     is_localization_mode: bool = False
-    corr_every: int = 4  # two-loop GN schedule (gn.run_gn_corr)
+    corr_every: int = 10  # candidate-cache GN schedule (see IcpConfig)
+    cand_k: int = 16
     # grouped stencil gather (0 = direct); at ivox_voxel 0.5 ~= the planar
     # filter size the dedup is mild, so direct is the default here
     group_capacity: int = 0
+    incremental_map: bool = True  # window mode: see window_add docstring
 
 
 class P2PlaneWindowState(NamedTuple):
@@ -309,7 +346,9 @@ class PointToPlaneMatcher:
         c = self.cfg
         if c.mode == "window":
             return P2PlaneWindowState(
-                window_create(c.local_map_size, c.cloud_capacity, c.map_capacity, c.bucket_size, self.dtype)
+                window_create(c.local_map_size, c.cloud_capacity, c.map_capacity,
+                              c.bucket_size, self.dtype,
+                              incremental=c.incremental_map)
             )
         return P2PlaneIvoxState(
             m=voxel_hash.create(c.map_capacity, c.bucket_size, self.dtype),
@@ -327,14 +366,15 @@ class PointToPlaneMatcher:
         gc = c.group_capacity or None
 
         def corr_fn(t_mat):
-            return point_to_plane_corr(
-                t_mat, planar.points, planar.mask, m, self.inv,
-                c.point_to_planar_thresh, c.max_search_dist**2, c.stencil,
-                c.num_probes, group_capacity=gc,
+            return gather_candidates(
+                t_mat, planar.points, planar.mask, m, self.inv, c.cand_k,
+                c.stencil, c.num_probes, group_capacity=gc,
             )
 
-        def hg_fn(t_mat, corr):
-            return point_to_plane_hg_corr(t_mat, planar.points, corr)
+        def hg_fn(t_mat, cand):
+            return point_to_plane_hg_cand(
+                t_mat, planar.points, cand, c.point_to_planar_thresh,
+                c.max_search_dist**2)
 
         res = run_gn_corr(corr_fn, hg_fn, t_init, self.gn_cfg)
         # convergence requires enough valid planar matches (loam_*_kdtree.h:181)
@@ -352,7 +392,8 @@ class PointToPlaneMatcher:
             def add(ws):
                 world = transform_cloud(res.t_mat, planar)
                 return window_add(ws, world, res.t_mat, c.map_filter_size, self.inv,
-                                  c.merged_capacity, c.num_probes)
+                                  c.merged_capacity, c.num_probes,
+                                  window_size=c.local_map_size if c.incremental_map else 0)
 
             return P2PlaneWindowState(jax.lax.cond(do_add, add, lambda x: x, s.w)), res
 
@@ -375,7 +416,8 @@ class PointToPlaneMatcher:
         if isinstance(s, P2PlaneWindowState):
             return P2PlaneWindowState(
                 window_add(s.w, world, t_mat, c.map_filter_size, self.inv,
-                           c.merged_capacity, c.num_probes)
+                           c.merged_capacity, c.num_probes,
+                           window_size=c.local_map_size if c.incremental_map else 0)
             )
         m2 = voxel_hash.insert(
             s.m, world.points, world.mask, self.inv,
@@ -435,11 +477,13 @@ class LoamFullConfig(NamedTuple):
     map_capacity: int = 65536
     bucket_size: int = 8
     is_localization_mode: bool = False
-    # two-loop GN schedule: 3 measured best on the orthogonal-room kernel
-    # test (tp 0.020 m in 5 gathers vs 0.020/11 at 1 and 0.042/9 at 4 —
-    # the corner+planar fixed point is sensitive to the refresh cadence)
-    corr_every: int = 3
+    # candidate-cache GN schedule (see IcpConfig): exact per-iteration
+    # re-selection/re-fit among cached candidates tolerates a much longer
+    # refresh than the frozen-match scheme did
+    corr_every: int = 8
+    cand_k: int = 16
     group_capacity: int = 8192  # grouped stencil gather (0 = direct)
+    incremental_map: bool = True  # see window_add docstring
 
 
 class LoamFullState(NamedTuple):
@@ -463,9 +507,12 @@ class LoamFullMatcher:
 
     def create_state(self) -> LoamFullState:
         c = self.cfg
+        inc = c.incremental_map
         return LoamFullState(
-            corner=window_create(c.corner_map_size, c.corner_capacity, c.map_capacity, c.bucket_size, self.dtype),
-            planar=window_create(c.planar_map_size, c.planar_capacity, c.map_capacity, c.bucket_size, self.dtype),
+            corner=window_create(c.corner_map_size, c.corner_capacity, c.map_capacity,
+                                 c.bucket_size, self.dtype, incremental=inc),
+            planar=window_create(c.planar_map_size, c.planar_capacity, c.map_capacity,
+                                 c.bucket_size, self.dtype, incremental=inc),
         )
 
     def match(self, s: LoamFullState, corner: Cloud, planar: Cloud, t_init):
@@ -476,22 +523,22 @@ class LoamFullMatcher:
         gc = c.group_capacity or None
 
         def corr_fn(t_mat):
-            cc = point_to_line_corr(
+            cc = gather_candidates(
                 t_mat, corner.points, corner.mask, s.corner.m, self.inv,
-                c.line_ratio_thresh, thr2, c.stencil, c.num_probes,
-                group_capacity=gc,
+                c.cand_k, c.stencil, c.num_probes, group_capacity=gc,
             )
-            cp = point_to_plane_corr(
+            cp = gather_candidates(
                 t_mat, planar.points, planar.mask, s.planar.m, self.inv,
-                c.point_to_planar_thresh, thr2, c.stencil, c.num_probes,
-                group_capacity=gc,
+                c.cand_k, c.stencil, c.num_probes, group_capacity=gc,
             )
             return (cc, cp)
 
-        def hg_fn(t_mat, corr):
-            cc, cp = corr
-            hg_c = point_to_line_hg_corr(t_mat, corner.points, cc)
-            hg_p = point_to_plane_hg_corr(t_mat, planar.points, cp)
+        def hg_fn(t_mat, cand):
+            cc, cp = cand
+            hg_c = point_to_line_hg_cand(
+                t_mat, corner.points, cc, c.line_ratio_thresh, thr2)
+            hg_p = point_to_plane_hg_cand(
+                t_mat, planar.points, cp, c.point_to_planar_thresh, thr2)
             # the reference's convergence gate counts PLANAR matches only
             # (loam_full_kdtree.h:181-183), so the merged normal equations
             # carry the planar-only count as num_valid
@@ -511,11 +558,15 @@ class LoamFullMatcher:
         def add(st: LoamFullState):
             cw = transform_cloud(res.t_mat, corner)
             pw = transform_cloud(res.t_mat, planar)
+            wc = c.corner_map_size if c.incremental_map else 0
+            wp = c.planar_map_size if c.incremental_map else 0
             return LoamFullState(
                 corner=window_add(st.corner, cw, res.t_mat, c.corner_filter_size,
-                                  self.inv, c.merged_capacity, c.num_probes),
+                                  self.inv, c.merged_capacity, c.num_probes,
+                                  window_size=wc),
                 planar=window_add(st.planar, pw, res.t_mat, c.planar_filter_size,
-                                  self.inv, c.merged_capacity, c.num_probes),
+                                  self.inv, c.merged_capacity, c.num_probes,
+                                  window_size=wp),
             )
 
         s = jax.lax.cond(do_add, add, lambda x: x, s)
@@ -526,11 +577,13 @@ class LoamFullMatcher:
         c = self.cfg
         cw = transform_cloud(t_mat, corner)
         pw = transform_cloud(t_mat, planar)
+        wc = c.corner_map_size if c.incremental_map else 0
+        wp = c.planar_map_size if c.incremental_map else 0
         return LoamFullState(
             corner=window_add(s.corner, cw, t_mat, c.corner_filter_size, self.inv,
-                              c.merged_capacity, c.num_probes),
+                              c.merged_capacity, c.num_probes, window_size=wc),
             planar=window_add(s.planar, pw, t_mat, c.planar_filter_size, self.inv,
-                              c.merged_capacity, c.num_probes),
+                              c.merged_capacity, c.num_probes, window_size=wp),
         )
 
     def fitness(self, s: LoamFullState, planar: Cloud, t_mat, max_range=1.0):

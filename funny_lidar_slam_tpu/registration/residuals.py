@@ -79,6 +79,116 @@ def transform_points(t_mat: jax.Array, pts: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Candidate-set caching (the third level of the gather hierarchy).
+#
+# Profiling on the v5e shows one stencil gather is ~13.5 ms while a full
+# relinearization on cached data is ~0.2 ms — the gather IS the GN iteration.
+# Freezing the chosen match (the *_corr/*_hg_corr split) caps the reuse at
+# corr_every~4 before quality degrades, because the frozen NN/fit goes stale.
+#
+# Caching the M nearest CANDIDATES per source point instead, and re-selecting
+# the NN / re-fitting the surface among them at the CURRENT pose every
+# iteration, keeps the reference's search-every-iteration semantics (the
+# selection is exact as long as the pose has moved less than the candidate
+# margin since the gather) while running the expensive stencil gather only
+# every ~3 iterations of 10. Selection over [N, M] is pure VPU work.
+# ---------------------------------------------------------------------------
+
+
+class CandSet(NamedTuple):
+    """Cached NN candidates: the M nearest map points per source point,
+    gathered at some past pose."""
+
+    pts: jax.Array  # [N, M, 3] candidate map points (world frame)
+    valid: jax.Array  # [N, M]
+
+
+def gather_candidates(
+    t_mat: jax.Array,
+    src: jax.Array,
+    src_mask: jax.Array,
+    m: voxel_hash.VoxelHashMap,
+    inv_voxel_size,
+    m_cand: int,
+    stencil: str = "nearby26",
+    num_probes: int = 8,
+    group_capacity: int | None = None,
+) -> CandSet:
+    """One stencil gather -> M nearest candidates per transformed source
+    point (the shared expensive stage of all KdTree-replacing matchers)."""
+    p_t = transform_points(t_mat, src)
+    nbrs, _d2, ok = voxel_hash.query_knn(
+        m, p_t, inv_voxel_size, k=m_cand, stencil=stencil,
+        num_probes=num_probes, group_capacity=group_capacity,
+    )
+    return CandSet(pts=nbrs, valid=ok & src_mask[:, None])
+
+
+def _select_knn(t_mat: jax.Array, src: jax.Array, cand: CandSet, k: int):
+    """Re-select the k nearest cached candidates at the CURRENT pose.
+    Returns (p_t [N,3], nbrs [N,k,3], d2 [N,k], ok [N,k])."""
+    p_t = transform_points(t_mat, src)
+    d2 = jnp.sum((cand.pts - p_t[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(cand.valid, d2, jnp.inf)
+    if k == 1:
+        idx = jnp.argmin(d2, axis=1)[:, None]
+        kd2 = jnp.take_along_axis(d2, idx, axis=1)
+    else:
+        neg, idx = jax.lax.top_k(-d2, k)
+        kd2 = -neg
+    nbrs = jnp.take_along_axis(cand.pts, idx[..., None], axis=1)
+    return p_t, nbrs, kd2, jnp.isfinite(kd2)
+
+
+def point_to_point_hg_cand(
+    t_mat: jax.Array, src: jax.Array, cand: CandSet, max_corr_dist_sq
+) -> HG:
+    """ICP linearization on the candidate cache: exact NN re-selection at the
+    current pose (icp_optimized.h:78-116 per-iteration search semantics,
+    restricted to the cached M-candidate set)."""
+    _, nbrs, d2, ok = _select_knn(t_mat, src, cand, 1)
+    corr = P2PCorr(q=nbrs[:, 0], valid=ok[:, 0] & (d2[:, 0] <= max_corr_dist_sq))
+    return point_to_point_hg_corr(t_mat, src, corr)
+
+
+def point_to_plane_hg_cand(
+    t_mat: jax.Array, src: jax.Array, cand: CandSet, plane_thresh,
+    max_search_dist_sq,
+) -> HG:
+    """Point-to-plane on the candidate cache: 5-NN re-selection + plane
+    re-fit + all gates evaluated at the CURRENT pose
+    (loam_point_to_plane_kdtree.h:204-272 per-iteration semantics)."""
+    p_t, nbrs, d2, ok = _select_knn(t_mat, src, cand, 5)
+    ok = ok & (d2 <= max_search_dist_sq)
+    normal, q0, fit_ok = fit_plane_5nn(nbrs, ok, plane_thresh)
+    d = jnp.einsum("na,na->n", p_t - q0, normal)
+    src_norm = jnp.linalg.norm(src, axis=-1)
+    near_reject = src_norm < 81.0 * d * d
+    corr = PlaneCorr(normal=normal, q0=q0, valid=fit_ok & ~near_reject)
+    return point_to_plane_hg_corr(t_mat, src, corr)
+
+
+def point_to_line_hg_cand(
+    t_mat: jax.Array, src: jax.Array, cand: CandSet, line_ratio_thresh,
+    max_search_dist_sq,
+) -> HG:
+    """Point-to-line on the candidate cache: 5-NN re-selection + covariance
+    line re-fit at the CURRENT pose (loam_full_kdtree.h:211-273)."""
+    p_t, nbrs, d2, ok = _select_knn(t_mat, src, cand, 5)
+    all_ok = jnp.all(ok & (d2 <= max_search_dist_sq), axis=-1)
+    w = ok.astype(src.dtype)[..., None]
+    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    center = jnp.sum(nbrs * w, axis=1) / cnt
+    centered = (nbrs - center[:, None, :]) * w
+    cov = jnp.einsum("nka,nkb->nab", centered, centered) / 5.0
+    lams = sym3_eigvalsh(cov)
+    line_ok = lams[:, 2] > line_ratio_thresh * lams[:, 1]
+    n_dir = sym3_principal_eigvec(cov)
+    corr = LineCorr(center=center, n_dir=n_dir, valid=all_ok & line_ok)
+    return point_to_line_hg_corr(t_mat, src, corr)
+
+
 class P2PCorr(NamedTuple):
     q: jax.Array  # [N, 3] matched map point
     valid: jax.Array  # [N]

@@ -23,7 +23,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, *args, n=20, warmup=3):
+def timeit(fn, *args, n=20, warmup=3, label=None):
     import jax
 
     for _ in range(warmup):
@@ -33,7 +33,10 @@ def timeit(fn, *args, n=20, warmup=3):
     for _ in range(n):
         out = fn(*args)
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+    dt = (time.perf_counter() - t0) / n
+    if label:
+        print(f"  {label}: {dt*1e3:.3f} ms", flush=True)
+    return dt
 
 
 def main():
@@ -96,48 +99,50 @@ def main():
 
     # full fused step
     timings["full_step"] = timeit(
-        lambda: fe.step(mstate, fstate, pts, rts, mask, scan_end, dseg, pseg))
+        lambda: fe.step(mstate, fstate, pts, rts, mask, scan_end, dseg, pseg),
+        label="full_step")
 
     # stages
     t_l2i = fe.t_l2i
     dk = jax.jit(lambda: deskew(pts, rts, mask, ref_t, dseg, t_l2i))
-    timings["deskew"] = timeit(dk)
+    timings["deskew"] = timeit(dk, label="deskew")
 
     params = PreintParams.from_std(0.01, 0.1, 1e-8, jnp.float32)
     pre = jax.jit(lambda: preintegrate(pseg, params, fstate.nav.bg, fstate.nav.ba))
-    timings["preintegrate"] = timeit(pre)
+    timings["preintegrate"] = timeit(pre, label="preintegrate")
 
     src = voxel_downsample(pts, mask, mcfg.source_filter_size, mcfg.source_capacity)
     timings["voxel_downsample_src"] = timeit(
-        jax.jit(lambda: voxel_downsample(pts, mask, mcfg.source_filter_size, mcfg.source_capacity)))
+        jax.jit(lambda: voxel_downsample(pts, mask, mcfg.source_filter_size, mcfg.source_capacity)),
+        label="voxel_downsample_src")
 
     m = mstate.m
     q = jax.jit(lambda: voxel_hash.query_knn(
         m, src.points, 1.0 / mcfg.nn_voxel_size, k=1, stencil=mcfg.stencil,
         num_probes=mcfg.num_probes))
-    timings["query_knn_k1_direct"] = timeit(q)
+    timings["query_knn_k1_direct"] = timeit(q, label="query_knn_k1_direct")
 
     qg = jax.jit(lambda: voxel_hash.query_knn(
         m, src.points, 1.0 / mcfg.nn_voxel_size, k=1, stencil=mcfg.stencil,
         num_probes=mcfg.num_probes, group_capacity=mcfg.group_capacity or None))
-    timings["query_knn_k1_grouped"] = timeit(qg)
+    timings["query_knn_k1_grouped"] = timeit(qg, label="query_knn_k1_grouped")
 
     q5 = jax.jit(lambda: voxel_hash.query_knn(
         m, src.points, 1.0 / mcfg.nn_voxel_size, k=5, stencil="nearby18",
         num_probes=mcfg.num_probes))
-    timings["query_knn_k5_direct"] = timeit(q5)
+    timings["query_knn_k5_direct"] = timeit(q5, label="query_knn_k5_direct")
 
     t0 = fstate.nav.pose
     hg = jax.jit(lambda: point_to_point_hg(
         t0, src.points, src.mask, m, 1.0 / mcfg.nn_voxel_size,
         mcfg.max_correspond_distance ** 2, mcfg.stencil, mcfg.num_probes))
-    timings["hg_point_to_point"] = timeit(hg)
+    timings["hg_point_to_point"] = timeit(hg, label="hg_point_to_point")
 
     # the REAL registration path: matcher.match with the two-loop cached GN
     # + grouped gathers (map insertion cond usually not taken at this frame)
     mm = jax.jit(lambda t: slam.matcher.match(mstate, Cloud(pts, mask), t))
     _, r = mm(t0)
-    timings["gn_matcher_match"] = timeit(mm, t0)
+    timings["gn_matcher_match"] = timeit(mm, t0, label="gn_matcher_match")
     iters = int(r.iters)
 
     # legacy reference-semantics GN (gather every iteration, direct queries)
@@ -146,7 +151,7 @@ def main():
             t, src.points, src.mask, m, 1.0 / mcfg.nn_voxel_size,
             mcfg.max_correspond_distance ** 2, mcfg.stencil, mcfg.num_probes),
         t0, slam.matcher.gn_cfg._replace(corr_every=1)))
-    timings["gn_uncached_direct"] = timeit(gn)
+    timings["gn_uncached_direct"] = timeit(gn, label="gn_uncached_direct")
 
     # per-frame tight fusion in isolation
     from funny_lidar_slam_tpu.fusion.tight import fuse as tight_fuse
@@ -156,13 +161,24 @@ def main():
     pred_v = preint_predict(pre_v, fstate.nav, grav)
     tf = jax.jit(lambda: tight_fuse(
         fstate.nav, pre_v, t0, pred_v, grav, cfg.frontend.fusion))
-    timings["tight_fuse"] = timeit(tf)
+    timings["tight_fuse"] = timeit(tf, label="tight_fuse")
 
     wa = jax.jit(lambda: matchers.window_add(
         mstate, Cloud(src.points, src.mask),
         t0, mcfg.map_filter_size, 1.0 / mcfg.nn_voxel_size, mcfg.merged_capacity,
-        mcfg.num_probes))
-    timings["window_add"] = timeit(wa, n=10)
+        mcfg.num_probes,
+        window_size=mcfg.local_map_size if mcfg.incremental_map else 0))
+    timings["window_add"] = timeit(wa, n=10, label="window_add")
+    if mcfg.incremental_map:
+        # the superseded full-rebuild policy, for the before/after record
+        ws_full = matchers.window_create(
+            mcfg.local_map_size, mcfg.cloud_capacity, mcfg.map_capacity,
+            mcfg.bucket_size)
+        war = jax.jit(lambda: matchers.window_add(
+            ws_full, Cloud(src.points, src.mask),
+            t0, mcfg.map_filter_size, 1.0 / mcfg.nn_voxel_size,
+            mcfg.merged_capacity, mcfg.num_probes))
+        timings["window_add_rebuild"] = timeit(war, n=10, label="window_add_rebuild")
 
     # host feed overhead: pad + segment fetch
     t0h = time.perf_counter()
