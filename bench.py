@@ -87,7 +87,11 @@ def main():
         "LoamFull_KdTree": (matchers.LoamFullConfig(
             corner_capacity=4096, planar_capacity=16384,
             merged_capacity=65536, map_capacity=65536), loam_fe),
+        # sim scans are sparser than 32-beam data: 2 m NDT voxels keep >=4
+        # points per Gaussian (same reasoning as test_mapping_incremental_ndt)
         "IncrementalNDT": (matchers.NdtConfig(
+            voxel_size=2.0, source_filter_size=0.3, min_points_in_voxel=4,
+            min_effective_pts=50, res_outlier_thresh=30.0,
             source_capacity=cap, map_capacity=131072), tight),
     }
 

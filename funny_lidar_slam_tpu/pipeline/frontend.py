@@ -62,6 +62,11 @@ class StepResult(NamedTuple):
     # the fused pose
     points: jax.Array  # [N, 3]
     mask: jax.Array  # [N]
+    # pose/delta/scalars flattened into ONE f32 vector so the host retire
+    # drains a frame with a single device->host transfer (each transfer is a
+    # multi-ms round trip through the device tunnel): [pose(16), delta(16),
+    # converged, num_valid, iters, fitness]
+    packed: jax.Array  # [36]
 
 
 @dataclass
@@ -263,6 +268,16 @@ class Frontend:
             delta_pose=delta,
             initialized=fstate.initialized,
         )
+        packed = jnp.concatenate([
+            curr_pose.reshape(-1).astype(jnp.float32),
+            delta.reshape(-1).astype(jnp.float32),
+            jnp.stack([
+                res.converged.astype(jnp.float32),
+                res.num_valid.astype(jnp.float32),
+                res.iters.astype(jnp.float32),
+                res.total_res.astype(jnp.float32),
+            ]),
+        ])
         out = StepResult(
             pose=curr_pose,
             delta_pose=delta,
@@ -272,6 +287,7 @@ class Frontend:
             fitness=res.total_res,
             points=pts,
             mask=msk,
+            packed=packed,
         )
         return mstate, new_fstate, out
 

@@ -247,19 +247,24 @@ class SlamSystem:
         the keyframe policy (System::ProcessMappingFrameCache,
         system.cpp:627-689). Blocks until the device step finishes."""
         scan_end = pending["t"]
-        pose = np.asarray(pending["pose_dev"])  # syncs; everything else ready
         out = pending["out"]
         if pending["init"]:
+            pose = np.asarray(pending["pose_dev"])
             converged = True
             stats = {"init": True}
         else:
-            converged = bool(out.converged)
+            # ONE device->host transfer for the whole frame record (each
+            # transfer is a multi-ms round trip, and transfers queue behind
+            # already-enqueued compute)
+            packed = np.asarray(out.packed, np.float64)
+            pose = packed[:16].reshape(4, 4)
+            converged = bool(packed[32] > 0.5)
             stats = {
                 "init": False,
-                "num_valid": int(out.num_valid),
-                "iters": int(out.iters),
+                "num_valid": int(packed[33]),
+                "iters": int(packed[34]),
             }
-            self._accum_delta = self._accum_delta @ np.asarray(out.delta_pose)
+            self._accum_delta = self._accum_delta @ packed[16:32].reshape(4, 4)
         tr = time.perf_counter()
         # `wall` spans dispatch->retire (includes pipeline overlap; per-frame
         # latency); `tr` is the retire timestamp — steady-state throughput is
@@ -365,11 +370,15 @@ class SlamSystem:
         n_imu = len(dataset.imu_t)
         results = []
         scans = dataset.scans[:max_scans] if max_scans else dataset.scans
-        # depth-1 software pipeline: dispatch scan k (async on device), then
-        # retire scan k-1 — the host-side keyframe policy and stats drain
-        # overlap with the device computing scan k (the reference overlaps
-        # these with threads, system.h:163-187)
-        pending = None
+        # depth-B software pipeline: dispatch scan k (async on device) and
+        # retire scans in BATCHES of B — the first retire of a batch waits
+        # for the device to drain the queued steps (d2h transfers are FIFO
+        # behind enqueued compute on this runtime), the other B-1 are free,
+        # so the wait amortizes to ~1/B of a step per frame. The host-side
+        # keyframe policy lags <= B scans, like the reference's queued
+        # threads (system.h:163-187).
+        depth = 4
+        pending: list = []
         for k, scan in enumerate(scans):
             scan_end = scan.t + scan_period
             while imu_idx < n_imu and dataset.imu_t[imu_idx] <= scan_end + 0.05:
@@ -380,13 +389,14 @@ class SlamSystem:
                 )
                 imu_idx += 1
             nxt = self.dispatch_scan(scan.t, scan_end, scan.points, scan.rel_times)
-            if pending is not None:
-                results.append(self.retire_scan(pending))
-            pending = nxt
+            if nxt is not None:
+                pending.append(nxt)
+            if len(pending) >= depth:
+                results.extend(self.retire_scan(p) for p in pending)
+                pending.clear()
             if progress and k % 20 == 0:
                 print(f"scan {k}/{len(scans)}", flush=True)
-        if pending is not None:
-            results.append(self.retire_scan(pending))
+        results.extend(self.retire_scan(p) for p in pending)
         return {
             "poses": np.asarray(self.trajectory),
             "times": np.asarray(self.trajectory_t),
