@@ -136,8 +136,17 @@ def insert(
     w = g.sorted_mask.astype(dtype)
     cnt = jax.ops.segment_sum(w, seg, num_segments=n + 1)[:n]
     s1 = jax.ops.segment_sum(g.sorted_pts * w[:, None], seg, num_segments=n + 1)[:n]
-    outer = g.sorted_pts[:, :, None] * g.sorted_pts[:, None, :] * w[:, None, None]
-    s2 = jax.ops.segment_sum(outer, seg, num_segments=n + 1)[:n]
+    # batch M2 about the BATCH MEAN (two-pass): raw second moments at world
+    # coordinates cancel catastrophically in f32 once |p| >> the point
+    # spread (at 45 m, mean^2 ~ 2e3 vs variance ~1e-2 -> the old
+    # raw2 - n*mean*mean^T recentering produced INDEFINITE covariances whose
+    # inverses then NaN'd the Gauss-Newton H; incremental_ndt.h:112-178
+    # accumulates sequentially in double and never hits this)
+    bmean = s1 / jnp.maximum(cnt, 1.0)[:, None]
+    centered = (g.sorted_pts - bmean[jnp.minimum(g.group_id, n - 1)]) * w[:, None]
+    bm2 = jax.ops.segment_sum(
+        centered[:, :, None] * centered[:, None, :], seg, num_segments=n + 1
+    )[:n]
 
     rep_valid = (jnp.arange(n) < g.num_groups) & (cnt > 0)
     is_rep = (g.rank == 0) & g.sorted_mask
@@ -179,11 +188,14 @@ def insert(
 
     tot = old_n + cnt
     safe_tot = jnp.maximum(tot, 1.0)
-    new_mean = (old_n[:, None] * old_mean + s1) / safe_tot[:, None]
-    # M2 update: combine raw second moments, recenter at the new mean
-    old_raw2 = old_m2 + old_n[:, None, None] * (old_mean[:, :, None] * old_mean[:, None, :])
-    new_raw2 = old_raw2 + s2
-    new_m2 = new_raw2 - tot[:, None, None] * (new_mean[:, :, None] * new_mean[:, None, :])
+    # Chan's parallel merge: every term is centered (delta is at most one
+    # voxel diagonal), so the update stays accurate in f32 at any distance
+    # from the origin.
+    delta = bmean - old_mean
+    new_mean = old_mean + delta * (cnt / safe_tot)[:, None]
+    new_m2 = old_m2 + bm2 + (old_n * cnt / safe_tot)[:, None, None] * (
+        delta[:, :, None] * delta[:, None, :]
+    )
 
     sigma = new_m2 / jnp.maximum(tot - 1.0, 1.0)[:, None, None]
     info, est_cnt = _regularized_info(sigma, tot, float(min_points))

@@ -28,14 +28,25 @@ def _feed_bag(system_or_localizer, cfg, bag_path: str, max_scans, init_pose=None
     from ..io.rosbag import read_bag
     from .preprocess import range_and_jump_filter
 
+    obj = system_or_localizer
+    # mapping mode pipelines dispatch/retire like run_dataset (localization
+    # keeps the sync path — its local-map refresh decisions need the pose)
+    can_pipeline = hasattr(obj, "dispatch_scan") and init_pose is None
     pending = []
+    in_flight = []
     n_done = 0
+
+    def drain():
+        for p in in_flight:
+            obj.retire_scan(p)
+        in_flight.clear()
+
     for ev in read_bag(bag_path, cfg.lidar_topic, cfg.imu_topic,
                        cfg.lidar_model.lidar_type, cfg.lidar_point_time_scale,
                        cfg.lidar_model):
         if ev[0] == "imu":
             _, t, gyro, accel, quat = ev
-            system_or_localizer.push_imu(t, gyro, accel, quat)
+            obj.push_imu(t, gyro, accel, quat)
         else:
             scan = range_and_jump_filter(
                 ev[1], cfg.lidar_use_min_distance, cfg.lidar_use_max_distance,
@@ -45,17 +56,24 @@ def _feed_bag(system_or_localizer, cfg, bag_path: str, max_scans, init_pose=None
         while pending:
             scan = pending[0]
             end = scan.stamp + (float(scan.rel_times.max()) if len(scan.rel_times) else 0.0)
-            obj = system_or_localizer
             if not obj.imu.initialized or not obj.imu.covers(scan.stamp, end):
                 break
             pending.pop(0)
             if init_pose is not None and not obj.initialized:
                 obj.try_init(init_pose, scan.stamp, end, scan.points, scan.rel_times)
+            elif can_pipeline:
+                p = obj.dispatch_scan(scan.stamp, end, scan.points, scan.rel_times)
+                if p is not None:
+                    in_flight.append(p)
+                if len(in_flight) >= 4:
+                    drain()
             else:
                 obj.process_scan(scan.stamp, end, scan.points, scan.rel_times)
             n_done += 1
             if max_scans and n_done >= max_scans:
+                drain()
                 return
+    drain()
 
 
 def main(argv=None):

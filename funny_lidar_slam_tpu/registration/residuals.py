@@ -454,6 +454,12 @@ def ndt_corr(
     err = p_t[:, None, :] - mu
     res = jnp.einsum("nva,nvab,nvb->nv", err, lam, err)
     valid = valid_v & src_mask[:, None] & (res <= outlier_thresh) & jnp.isfinite(res)
+    # Sanitize: an under-populated slot's info can be inf/NaN from inverting
+    # a degenerate covariance; it is gated invalid above, but NaN * 0 = NaN
+    # would still poison the masked H reduction (_reduce_vec3), NaN-ing the
+    # solve and diverging the whole GN (observed on the 45 m sim scene).
+    lam = jnp.where(valid[..., None, None] & jnp.isfinite(lam), lam, 0.0)
+    mu = jnp.where(valid[..., None], mu, p_t[:, None, :])
     return NdtCorr(mu=mu, lam=lam, valid=valid)
 
 

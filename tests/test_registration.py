@@ -157,9 +157,14 @@ def test_loam_full_recovers_transform():
 
 def test_ndt_recovers_transform():
     pts = room_scene(spacing=0.1, noise=0.02)
+    # tight converge eps: the NDT fixed point is approached slowly while
+    # the res_outlier gate progressively re-admits matches, and this test
+    # checks the fixed point, not the early-exit policy (the default
+    # |dx|<0.01 exit fires mid-creep)
     cfg = matchers.NdtConfig(
         voxel_size=1.0, source_filter_size=0.3, source_capacity=8192,
         map_capacity=16384, min_points_in_voxel=3, res_outlier_thresh=50.0,
+        position_converge_thresh=0.002, rotation_converge_thresh=0.002,
     )
     m = matchers.NdtMatcher(cfg)
     map_cloud, src, t_true = make_problem(pts, 16384, T_SMALL_V)
