@@ -229,9 +229,17 @@ def insert(
     assigned = jnp.where(has_match, match_slot, -1)
     group_ids = jnp.arange(n, dtype=jnp.int32)
 
-    for p in range(num_probes):
-        cand = slots[:, p]
-        cand_ok = need & empty[:, p]
+    # Each round, every unclaimed group tries its FIRST still-empty probe
+    # slot (not probe position r as in the old 8-round positional loop):
+    # round 1 resolves every non-contended group at once, later rounds only
+    # mop up scatter-min losers moving to their next empty slot. 3 rounds
+    # match the 8-round positional loop's insert-loss (<0.5% at 0.59 load)
+    # while dropping the sequential full-table scatter count 8 -> 3 — the
+    # claim loop dominated the insert kernel (docs/ROOFLINE.md kernel 3).
+    for _ in range(min(3, num_probes)):
+        first = jnp.argmax(empty, axis=-1)  # [n] first empty probe offset
+        cand = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]
+        cand_ok = need & jnp.any(empty, axis=-1)
         tgt = jnp.where(cand_ok, cand, cap)
         claim = jnp.full(cap + 1, n, jnp.int32).at[tgt].min(group_ids)
         won = cand_ok & (claim[cand] == group_ids)

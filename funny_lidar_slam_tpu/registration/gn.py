@@ -48,6 +48,18 @@ class GNConfig(NamedTuple):
     # search-every-iteration semantics). Convergence only counts on a fresh
     # gather — a converged stale iteration forces a re-gather instead.
     corr_every: int = 1
+    # trust-region re-gather skip: if the pose has moved less than
+    # `skip_regather_dist` metres since the candidates were gathered
+    # (translation + rotation scaled by `regather_radius`, the effective
+    # scene radius), re-selection among the cached candidates is exact to
+    # within the candidate margin, so both the corr_every refresh AND the
+    # convergence-confirm gather are skipped — a converged stale iteration
+    # inside the trust region is final. With an IMU-predicted t0 the typical
+    # solve then runs ONE stencil gather instead of three (the gather is the
+    # GN iteration on the v5e, docs/ROOFLINE.md kernel 1). 0 disables the
+    # skip (round-2 semantics: every refresh fires, convergence only fresh).
+    skip_regather_dist: float = 0.0
+    regather_radius: float = 20.0
 
 
 class GNResult(NamedTuple):
@@ -113,6 +125,7 @@ def run_gn_corr(
 
     class Carry(NamedTuple):
         t_mat: jax.Array
+        t_gather: jax.Array  # pose at which the candidates were gathered
         corr: object
         it: jax.Array  # total linearizations (cheap)
         gathers: jax.Array  # correspondence searches (expensive)
@@ -129,7 +142,19 @@ def run_gn_corr(
         return (c.gathers < cfg.max_iters) & (c.it < max_total) & ~c.done
 
     def body(c: Carry):
-        refresh = (c.since_gather >= cfg.corr_every) | c.force_gather | (c.it == 0)
+        if cfg.skip_regather_dist > 0.0:
+            # pose displacement since the gather: translation + small-angle
+            # rotation scaled by the effective scene radius
+            # (|dR - I|_F = 2 sqrt(2) sin(theta/2) ~= sqrt(2) theta)
+            dt = jnp.linalg.norm(c.t_mat[:3, 3] - c.t_gather[:3, 3])
+            dr = c.t_mat[:3, :3] @ c.t_gather[:3, :3].T
+            theta = jnp.linalg.norm(dr - jnp.eye(3, dtype=dtype)) / jnp.sqrt(
+                jnp.asarray(2.0, dtype))
+            moved = dt + theta * cfg.regather_radius > cfg.skip_regather_dist
+        else:
+            moved = jnp.asarray(True)
+        want = (c.since_gather >= cfg.corr_every) | c.force_gather
+        refresh = (want & moved) | (c.it == 0)
         corr = jax.lax.cond(refresh, corr_fn, lambda _t: c.corr, c.t_mat)
         hg = hg_fn(c.t_mat, corr)
         dx = solve6_damped(hg.h, hg.g)
@@ -150,17 +175,21 @@ def run_gn_corr(
             else jnp.asarray(False)
         )
         settled = conv | stall
-        # only a fresh-gather iteration may end the solve; a settled stale
-        # iteration triggers an immediate re-gather instead
+        # a solve may end on a fresh-gather iteration, or on a stale one
+        # whose linearization is still inside the trust region (re-selection
+        # provably matched a fresh gather); a settled stale iteration outside
+        # the region triggers an immediate re-gather instead
+        exact = refresh | ~moved
         return Carry(
             t_mat=t_new,
+            t_gather=jnp.where(refresh, c.t_mat, c.t_gather),
             corr=corr,
             it=c.it + 1,
             gathers=c.gathers + refresh.astype(jnp.int32),
             since_gather=jnp.where(refresh, 1, c.since_gather + 1),
-            force_gather=settled & ~refresh,
-            done=settled & refresh,
-            converged=(conv | (stall & enough)) & refresh,
+            force_gather=settled & ~exact,
+            done=settled & exact,
+            converged=(conv | (stall & enough)) & exact,
             last_rot=jnp.where(refresh, rn, c.last_rot),
             last_pos=jnp.where(refresh, pn, c.last_pos),
             num_valid=hg.num_valid,
@@ -172,6 +201,7 @@ def run_gn_corr(
     )
     init = Carry(
         t_mat=t0,
+        t_gather=t0,
         corr=corr0,
         it=jnp.zeros((), jnp.int32),
         gathers=jnp.zeros((), jnp.int32),

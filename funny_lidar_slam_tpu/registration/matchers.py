@@ -181,6 +181,11 @@ class IcpConfig(NamedTuple):
     # source_filter 0.4 / nn_voxel 1.0 a 16k scan hits ~5.6k unique voxels —
     # measured 33.6 -> 15.7 ms per k=1 query on the v5e.
     group_capacity: int = 8192
+    # trust-region re-gather skip (GNConfig.skip_regather_dist): with an
+    # IMU-predicted init the typical solve runs ONE stencil gather instead
+    # of three. 0 disables.
+    regather_skip_dist: float = 0.2
+    regather_radius: float = 20.0
 
 
 class IcpMatcher:
@@ -196,6 +201,8 @@ class IcpMatcher:
             update=UPDATE_ICP,
             use_stall_check=False,
             corr_every=cfg.corr_every,
+            skip_regather_dist=cfg.regather_skip_dist,
+            regather_radius=cfg.regather_radius,
         )
 
     def create_state(self) -> WindowMapState:
@@ -310,6 +317,8 @@ class PointToPlaneConfig(NamedTuple):
     # filter size the dedup is mild, so direct is the default here
     group_capacity: int = 0
     incremental_map: bool = True  # window mode: see window_add docstring
+    regather_skip_dist: float = 0.1  # trust-region skip (see IcpConfig);
+    regather_radius: float = 20.0  # tighter at 0.5 m ivox voxels
 
 
 class P2PlaneWindowState(NamedTuple):
@@ -339,6 +348,8 @@ class PointToPlaneMatcher:
             update=UPDATE_LOAM,
             use_stall_check=True,
             corr_every=cfg.corr_every,
+            skip_regather_dist=cfg.regather_skip_dist,
+            regather_radius=cfg.regather_radius,
         )
         self.inv = 1.0 / cfg.ivox_voxel_size
 
@@ -484,6 +495,8 @@ class LoamFullConfig(NamedTuple):
     cand_k: int = 16
     group_capacity: int = 8192  # grouped stencil gather (0 = direct)
     incremental_map: bool = True  # see window_add docstring
+    regather_skip_dist: float = 0.1  # trust-region skip (see IcpConfig)
+    regather_radius: float = 20.0
 
 
 class LoamFullState(NamedTuple):
@@ -502,6 +515,8 @@ class LoamFullMatcher:
             update=UPDATE_LOAM,
             use_stall_check=True,
             corr_every=cfg.corr_every,
+            skip_regather_dist=cfg.regather_skip_dist,
+            regather_radius=cfg.regather_radius,
         )
         self.inv = 1.0 / cfg.nn_voxel_size
 
