@@ -17,8 +17,15 @@ Prints exactly ONE JSON line.
 """
 
 import json
+import os
 import sys
 import time
+
+# persistent XLA compilation cache: the full 5-mode bench traces ~10 large
+# programs and cold compiles via the axon tunnel can run minutes each;
+# cached reruns start in seconds (must be set before jax initializes)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import numpy as np
 

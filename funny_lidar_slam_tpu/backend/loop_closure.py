@@ -12,7 +12,7 @@ Re-design of the reference LoopClosure thread (src/slam/loop_closure.cpp):
       LOCAL frame; both voxel-filtered
   verification (Match, loop_closure.cpp:233-267):
     * reference: PCL NDT at resolutions {10,5,3,2} then GICP; here: NDT
-      matcher coarse-to-fine then point-to-plane ICP refine on the voxel-hash
+      matcher coarse-to-fine then point-to-plane ICP refine on the block
       map, with the same fitness-gated accept (< `fitness_threshold`).
 
 The feature-based detector the reference declares but leaves empty
@@ -27,7 +27,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core.cloud import Cloud
-from ..maps import ndt_map, voxel_hash
+from ..maps import block_map, ndt_map
 from ..registration.gn import GNConfig, UPDATE_NDT, UPDATE_LOAM, run_gn
 from ..registration.residuals import fitness_score, ndt_hg, point_to_plane_hg
 
@@ -137,7 +137,7 @@ def verify_candidate(
 
     # shared fine map for fitness evaluation + final refine
     nn_inv = 1.0 / cfg.nn_voxel_size
-    mp = voxel_hash.build(
+    mp = block_map.build(
         cfg.map_capacity, cfg.bucket_size, tgt.points, tgt.mask, nn_inv
     )
 

@@ -23,11 +23,12 @@ kernel 1), so the design minimises row count and keeps rows flat:
     query path needs NO occupancy gather and no validity mask at all.
     (`counts` exists for insertion bookkeeping only.)
 
-The candidate set of a query is therefore the full 4x4x4-voxel block cover
-— a strict superset of the reference's NearbyType::NEARBY26 stencil
-(src/ivox_map/ivox_map.cpp:43-66). Extra candidates only ever move results
-CLOSER to true k-NN; all matcher gates (max_correspond_distance etc.)
-bound the effective radius exactly as in the reference.
+The raw block cover is the full 4x4x4-voxel neighborhood; the select
+kernel then masks candidate lanes back to the EXACT reference stencil
+(NearbyType, src/ivox_map/ivox_map.cpp:43-66) via each lane's static
+voxel offset and the query voxel's parity — the stencil doubles as the
+reference's search-radius limiter, and a superset measurably admits junk
+far correspondences (round-4 finding: LOAM ATE 0.051 vs 0.021 m).
 
 Insertion keeps the voxel-hash scheme (sort -> representative claims ->
 bucket scatter, cf. voxel_hash.insert) but runs it at BLOCK granularity:
@@ -402,14 +403,13 @@ def query_knn(
     """Batched k-NN over the block cover (IVoxMap::GetClosestPoint
     equivalent, src/ivox_map/ivox_map.cpp:6-37).
 
-    `stencil` is accepted for API compatibility with voxel_hash.query_knn;
-    the block cover always searches the full 4x4x4 neighborhood, a strict
-    superset of every reference stencil (module docstring).
+    `stencil` selects the reference NearbyType search pattern, enforced
+    exactly by per-lane masking in the select kernel (module docstring).
 
     Returns (neighbors [N,k,3], sq_dists [N,k], valid [N,k]).
     """
     px, py, pz, d2, valid, order = query_knn_planes(
-        m, queries, inv_voxel_size, k, num_probes, group_capacity
+        m, queries, inv_voxel_size, k, num_probes, group_capacity, stencil
     )
     nbrs = jnp.stack([px, py, pz], axis=-1)
     return nbrs, d2, valid
@@ -422,13 +422,18 @@ def query_knn_planes(
     k: int,
     num_probes: int = 8,
     group_capacity: int | None = None,
+    stencil: str = "nearby26",
 ):
     """Plane-layout k-NN: returns (px, py, pz [N,k], d2 [N,k], valid [N,k],
     order) in the ORIGINAL query order. The [.., k, 3] assembly is left to
     callers that need it; the GN candidate cache consumes planes directly."""
+    from ..ops import pallas_select
+
     n = queries.shape[0]
     plane = m.plane
+    tq = pallas_select.TQ
     gcap = group_capacity or n
+    gcap = -(-gcap // tq) * tq  # fused-select block alignment
 
     g = group_by_voxel(queries, jnp.ones(n, bool), inv_voxel_size)
     rep_tgt = jnp.where((g.rank == 0) & (g.group_id < gcap), g.group_id, gcap)
@@ -440,23 +445,16 @@ def query_knn_planes(
 
     gid = jnp.minimum(g.group_id, gcap - 1)
     in_range = g.group_id < gcap
-    pw = wnd[gid]  # [N, 8*row] one row gather per query point
-    x, y, z = _planes_from_window(pw, plane)  # [N, 8*plane] each
+    use_pallas = n % tq == 0 and jax.default_backend() not in ("cpu",)
+    sel = (pallas_select.fused_select if use_pallas
+           else pallas_select.fused_select_xla)
+    kd2, kx, ky, kz = sel(wnd, gid, g.sorted_pts, k, plane,
+                          stencil=stencil, qvox=g.group_coords)
 
-    qx, qy, qz = (g.sorted_pts[:, i:i + 1] for i in range(3))
-    d2 = (x - qx) ** 2 + (y - qy) ** 2 + (z - qz) ** 2
-    d2 = jnp.where(in_range[:, None], d2, jnp.inf)
-
-    if k == 1:
-        idx = jnp.argmin(d2, axis=1)[:, None]
-        kd2 = jnp.take_along_axis(d2, idx, axis=1)
-    else:
-        neg, idx = jax.lax.top_k(-d2, k)
-        kd2 = -neg
-    valid = kd2 < 1e18  # sentinel rows square past 1e18
-    kx = jnp.where(valid, jnp.take_along_axis(x, idx, axis=1), 0.0)
-    ky = jnp.where(valid, jnp.take_along_axis(y, idx, axis=1), 0.0)
-    kz = jnp.where(valid, jnp.take_along_axis(z, idx, axis=1), 0.0)
+    valid = (kd2 < 1e18) & in_range[:, None]  # sentinels square past 1e18
+    kx = jnp.where(valid, kx, 0.0)
+    ky = jnp.where(valid, ky, 0.0)
+    kz = jnp.where(valid, kz, 0.0)
     kd2 = jnp.where(valid, kd2, jnp.inf)
 
     # scatter back to the original query order

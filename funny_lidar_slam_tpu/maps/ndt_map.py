@@ -103,7 +103,9 @@ def _regularized_info(sigma: jax.Array, n: jax.Array, min_points: float) -> tupl
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_probes", "max_age", "min_points", "max_points", "estimate_all")
+    jax.jit,
+    static_argnames=("num_probes", "max_age", "min_points", "max_points",
+                     "claim_rounds"),
 )
 def insert(
     m: NdtMap,
@@ -114,15 +116,20 @@ def insert(
     max_age: int = 0,
     min_points: int = 5,
     max_points: int = 50,
-    estimate_all: bool = False,
+    estimate_all: jax.Array | bool = False,
+    claim_rounds: int = 3,
 ) -> NdtMap:
     """Merge a padded point batch into the per-voxel Gaussian statistics.
 
     `estimate_all=True` is the reference's first-scan / localization-frozen-map
     behavior (flag_first_scan_, incremental_ndt.h:131-143): every touched voxel
     becomes estimated regardless of count (single-point voxels get info=1e2*I).
+    It is a TRACED flag (only gates one elementwise `or`), so callers switch
+    per-scan without retracing or double-computing both variants.
     `max_points` stops updating voxels that already saturated
-    (incremental_ndt.h:146-148).
+    (incremental_ndt.h:146-148). `claim_rounds` bounds slot-claim contention
+    resolution: 3 suffices for incremental scan batches; dense one-shot map
+    loads should pass num_probes (see block_map.insert).
     """
     epoch = m.epoch + 1
     cap = m.capacity
@@ -160,12 +167,19 @@ def insert(
 
     has_match = jnp.any(match, axis=-1)
     match_slot = jnp.take_along_axis(slots, jnp.argmax(match, axis=-1)[:, None], axis=-1)[:, 0]
+    # first-empty claim rounds (the block_map.insert scheme): round 1
+    # resolves every non-contended group at once, later rounds mop up
+    # scatter-min losers — 3 sequential full-table scatters instead of the
+    # old num_probes positional rounds (the claim loop dominated insert
+    # cost, docs/ROOFLINE.md kernel 3, and NDT inserts fire EVERY converged
+    # scan, not on a keyframe gate)
     need = rep_valid & ~has_match
     assigned = jnp.where(has_match, match_slot, -1)
     group_ids = jnp.arange(n, dtype=jnp.int32)
-    for p in range(num_probes):
-        cand = slots[:, p]
-        cand_ok = need & empty[:, p]
+    for _ in range(min(claim_rounds, num_probes)):
+        first = jnp.argmax(empty, axis=-1)
+        cand = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]
+        cand_ok = need & jnp.any(empty, axis=-1)
         tgt = jnp.where(cand_ok, cand, cap)
         claim = jnp.full(cap + 1, n, jnp.int32).at[tgt].min(group_ids)
         won = cand_ok & (claim[cand] == group_ids)

@@ -8,7 +8,7 @@ Runs mapping or localization per the config's slam_mode, writes the TUM
 trajectory (common/save_file.h format), map products (map.pcd + tiles +
 pose_graph.g2o) and prints one JSON summary line. `--dataset synthetic`
 drives the built-in simulator; `--dataset <file.bag>` replays a ROS1 bag
-(requires the optional `rosbags` package).
+through the native zero-dependency reader (io/bag_format.py).
 """
 
 from __future__ import annotations

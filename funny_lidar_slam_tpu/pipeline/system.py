@@ -15,8 +15,6 @@ from dataclasses import dataclass, field
 import numpy as np
 import jax.numpy as jnp
 
-import jax.numpy as _jnp
-
 from ..backend.loop_closure import LoopCloser, LoopClosureConfig
 from ..backend.pose_graph import PoseGraphBuilder, optimize as pg_optimize
 from ..core.lie import rotation_to_rpy

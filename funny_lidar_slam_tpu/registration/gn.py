@@ -50,15 +50,20 @@ class GNConfig(NamedTuple):
     corr_every: int = 1
     # trust-region re-gather skip: if the pose has moved less than
     # `skip_regather_dist` metres since the candidates were gathered
-    # (translation + rotation scaled by `regather_radius`, the effective
-    # scene radius), re-selection among the cached candidates is exact to
-    # within the candidate margin, so both the corr_every refresh AND the
-    # convergence-confirm gather are skipped — a converged stale iteration
-    # inside the trust region is final. With an IMU-predicted t0 the typical
-    # solve then runs ONE stencil gather instead of three (the gather is the
-    # GN iteration on the v5e, docs/ROOFLINE.md kernel 1). 0 disables the
-    # skip (round-2 semantics: every refresh fires, convergence only fresh).
+    # (translation + rotation scaled by the scene radius), re-selection
+    # among the cached candidates is exact to within the candidate margin,
+    # so both the corr_every refresh AND the convergence-confirm gather are
+    # skipped — a converged stale iteration inside the trust region is
+    # final. With an IMU-predicted t0 the typical solve then runs ONE
+    # stencil gather instead of three (the gather is the GN iteration on
+    # the v5e, docs/ROOFLINE.md kernel 1). 0 disables the skip (round-2
+    # semantics: every refresh fires, convergence only fresh).
     skip_regather_dist: float = 0.0
+    # fallback rotation-displacement radius; callers should pass the actual
+    # source max range to run_gn_corr(`regather_radius`) instead — far
+    # points move by theta*range under rotation, so a fixed radius smaller
+    # than the true range understates displacement and can declare
+    # convergence on stale candidate sets (round-3 advisor finding)
     regather_radius: float = 20.0
 
 
@@ -107,6 +112,7 @@ def run_gn_corr(
     hg_fn: Callable[[jax.Array, object], HG],
     t0: jax.Array,
     cfg: GNConfig,
+    regather_radius: jax.Array | float | None = None,
 ) -> GNResult:
     """Two-loop GN: `corr_fn(T)` produces the (expensive) correspondence set,
     `hg_fn(T, corr)` linearizes on it. The gather runs on iteration 0 and
@@ -119,6 +125,12 @@ def run_gn_corr(
     GN wall clock by nearly k for gather-bound matchers."""
     dtype = t0.dtype
     big = jnp.asarray(1e9, dtype)
+    # rotation-displacement radius for the trust region: the caller's
+    # (possibly traced) source max range, falling back to the config value
+    radius = jnp.asarray(
+        cfg.regather_radius if regather_radius is None else regather_radius,
+        dtype,
+    )
     # max_iters bounds GATHERS (one reference iteration = one correspondence
     # search); the cheap stale relinearizations get their own looser bound
     max_total = cfg.max_iters * max(int(cfg.corr_every), 1)
@@ -144,13 +156,13 @@ def run_gn_corr(
     def body(c: Carry):
         if cfg.skip_regather_dist > 0.0:
             # pose displacement since the gather: translation + small-angle
-            # rotation scaled by the effective scene radius
+            # rotation scaled by the source max range
             # (|dR - I|_F = 2 sqrt(2) sin(theta/2) ~= sqrt(2) theta)
             dt = jnp.linalg.norm(c.t_mat[:3, 3] - c.t_gather[:3, 3])
             dr = c.t_mat[:3, :3] @ c.t_gather[:3, :3].T
             theta = jnp.linalg.norm(dr - jnp.eye(3, dtype=dtype)) / jnp.sqrt(
                 jnp.asarray(2.0, dtype))
-            moved = dt + theta * cfg.regather_radius > cfg.skip_regather_dist
+            moved = dt + theta * radius > cfg.skip_regather_dist
         else:
             moved = jnp.asarray(True)
         want = (c.since_gather >= cfg.corr_every) | c.force_gather
@@ -163,23 +175,26 @@ def run_gn_corr(
         rn, pn = jnp.linalg.norm(rot), jnp.linalg.norm(pos)
         enough = hg.num_valid >= cfg.min_valid
         conv = (rn < cfg.rotation_eps) & (pn < cfg.position_eps) & enough
-        # the stall test compares successive dx norms of FRESH linearizations
-        # only (loam_full_kdtree.h:159-176 semantics — every reference
-        # iteration is fresh); comparing a fresh dx against a settled stale
-        # one terminates prematurely
+        # linearizations that are fresh OR still inside the trust region
+        # (re-selection provably matches a fresh gather) count as exact
+        exact = refresh | ~moved
+        # the stall test compares successive dx norms of EXACT linearizations
+        # (loam_full_kdtree.h:159-176 semantics — every reference iteration
+        # is fresh; in-region stale iterations are treated as fresh
+        # everywhere else, and excluding them would make the stall exit
+        # unreachable while the pose oscillates inside the trust region,
+        # burning all max_iters*corr_every iterations and dropping the scan
+        # — round-3 advisor finding)
         stall = (
-            refresh
+            exact
             & (jnp.abs(rn - c.last_rot) < cfg.stall_eps)
             & (jnp.abs(pn - c.last_pos) < cfg.stall_eps)
             if cfg.use_stall_check
             else jnp.asarray(False)
         )
         settled = conv | stall
-        # a solve may end on a fresh-gather iteration, or on a stale one
-        # whose linearization is still inside the trust region (re-selection
-        # provably matched a fresh gather); a settled stale iteration outside
-        # the region triggers an immediate re-gather instead
-        exact = refresh | ~moved
+        # a solve may end on any exact iteration; a settled stale iteration
+        # outside the region triggers an immediate re-gather instead
         return Carry(
             t_mat=t_new,
             t_gather=jnp.where(refresh, c.t_mat, c.t_gather),
@@ -190,8 +205,8 @@ def run_gn_corr(
             force_gather=settled & ~exact,
             done=settled & exact,
             converged=(conv | (stall & enough)) & exact,
-            last_rot=jnp.where(refresh, rn, c.last_rot),
-            last_pos=jnp.where(refresh, pn, c.last_pos),
+            last_rot=jnp.where(exact, rn, c.last_rot),
+            last_pos=jnp.where(exact, pn, c.last_pos),
             num_valid=hg.num_valid,
             total_res=hg.total_res,
         )

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from ..core.cloud import Cloud, transform_cloud
 from ..core.lie import rotation_to_rpy
-from ..maps import ndt_map, voxel_hash
+from ..maps import block_map, ndt_map
 from ..ops.voxel import voxel_downsample
 from .gn import (
     GNConfig, GNResult, UPDATE_ICP, UPDATE_LOAM, UPDATE_NDT, run_gn,
@@ -51,6 +51,14 @@ from .residuals import (
 )
 
 
+
+def _source_radius(points, mask):
+    """Max range of valid source points — the rotation-displacement radius
+    for the GN trust-region skip (a fixed radius smaller than the true max
+    range understates how far points move under rotation)."""
+    r2 = jnp.sum(points * points, axis=-1)
+    return jnp.sqrt(jnp.max(jnp.where(mask, r2, 0.0)))
+
 def need_add_cloud(t_mat, last_t, dist_thresh, rot_thresh):
     """Map-insertion gate (icp_optimized.h:225-243): translation delta > d or
     any RPY of the delta rotation > r."""
@@ -66,7 +74,7 @@ def need_add_cloud(t_mat, last_t, dist_thresh, rot_thresh):
 
 
 class WindowMapState(NamedTuple):
-    m: voxel_hash.VoxelHashMap
+    m: block_map.BlockMap
     window_pts: jax.Array  # [W, cap, 3] world-frame inserted clouds
     window_mask: jax.Array  # [W, cap]
     head: jax.Array  # [] int32 ring position
@@ -81,7 +89,7 @@ def window_create(window_size, cloud_cap, map_capacity, bucket,
     # and the per-insert ring scatter)
     w, cap = (1, 1) if incremental else (window_size, cloud_cap)
     return WindowMapState(
-        m=voxel_hash.create(map_capacity, bucket, dtype),
+        m=block_map.create(map_capacity, bucket, dtype),
         window_pts=jnp.zeros((w, cap, 3), dtype),
         window_mask=jnp.zeros((w, cap), bool),
         head=jnp.zeros((), jnp.int32),
@@ -116,7 +124,7 @@ def window_add(
         cap = cloud_world.points.shape[0]
         ds = voxel_downsample(cloud_world.points, cloud_world.mask,
                               map_filter_size, cap)
-        m = voxel_hash.insert(s.m, ds.points, ds.mask, nn_inv_voxel,
+        m = block_map.insert(s.m, ds.points, ds.mask, nn_inv_voxel,
                               num_probes=num_probes, max_age=window_size)
         return s._replace(m=m, last_added=t_mat,
                           filled=jnp.minimum(s.filled + 1, window_size))
@@ -126,7 +134,7 @@ def window_add(
     merged_pts = window_pts.reshape(-1, 3)
     merged_mask = window_mask.reshape(-1)
     ds = voxel_downsample(merged_pts, merged_mask, map_filter_size, merged_capacity)
-    m = voxel_hash.build(
+    m = block_map.build(
         s.m.capacity, s.m.bucket_size, ds.points, ds.mask, nn_inv_voxel,
         num_probes=num_probes,
     )
@@ -231,9 +239,10 @@ class IcpMatcher:
 
         def hg_fn(t_mat, cand):
             return point_to_point_hg_cand(
-                t_mat, src.points, cand, c.max_correspond_distance**2)
+                t_mat, cand, c.max_correspond_distance**2)
 
-        res = run_gn_corr(corr_fn, hg_fn, t_init, self.gn_cfg)
+        res = run_gn_corr(corr_fn, hg_fn, t_init, self.gn_cfg,
+                          regather_radius=_source_radius(src.points, src.mask))
 
         if c.is_localization_mode:
             return s, res
@@ -276,7 +285,7 @@ class IcpMatcher:
         Localization::LoadLocalMap -> AddCloudToLocalMap with
         is_localization_mode, loam_point_to_plane_kdtree.h:56-80)."""
         c = self.cfg
-        m = voxel_hash.build(
+        m = block_map.build(
             c.map_capacity, c.bucket_size, map_cloud.points, map_cloud.mask,
             1.0 / c.nn_voxel_size, num_probes=c.num_probes,
         )
@@ -326,7 +335,7 @@ class P2PlaneWindowState(NamedTuple):
 
 
 class P2PlaneIvoxState(NamedTuple):
-    m: voxel_hash.VoxelHashMap
+    m: block_map.BlockMap
     last_added: jax.Array
 
 
@@ -362,7 +371,7 @@ class PointToPlaneMatcher:
                               incremental=c.incremental_map)
             )
         return P2PlaneIvoxState(
-            m=voxel_hash.create(c.map_capacity, c.bucket_size, self.dtype),
+            m=block_map.create(c.map_capacity, c.bucket_size, self.dtype),
             last_added=jnp.eye(4, dtype=self.dtype),
         )
 
@@ -384,10 +393,11 @@ class PointToPlaneMatcher:
 
         def hg_fn(t_mat, cand):
             return point_to_plane_hg_cand(
-                t_mat, planar.points, cand, c.point_to_planar_thresh,
-                c.max_search_dist**2)
+                t_mat, cand, c.point_to_planar_thresh, c.max_search_dist**2)
 
-        res = run_gn_corr(corr_fn, hg_fn, t_init, self.gn_cfg)
+        res = run_gn_corr(
+            corr_fn, hg_fn, t_init, self.gn_cfg,
+            regather_radius=_source_radius(planar.points, planar.mask))
         # convergence requires enough valid planar matches (loam_*_kdtree.h:181)
         ok = res.num_valid >= c.min_valid_planar
         res = res._replace(converged=ok)
@@ -411,7 +421,7 @@ class PointToPlaneMatcher:
         # ivox: insert every scan with the center policy
         def add(st):
             world = transform_cloud(res.t_mat, planar)
-            m2 = voxel_hash.insert(
+            m2 = block_map.insert(
                 st.m, world.points, world.mask, self.inv,
                 num_probes=c.num_probes, max_age=c.ivox_max_age, center_policy=True,
             )
@@ -430,7 +440,7 @@ class PointToPlaneMatcher:
                            c.merged_capacity, c.num_probes,
                            window_size=c.local_map_size if c.incremental_map else 0)
             )
-        m2 = voxel_hash.insert(
+        m2 = block_map.insert(
             s.m, world.points, world.mask, self.inv,
             num_probes=c.num_probes, max_age=c.ivox_max_age, center_policy=True,
         )
@@ -447,13 +457,13 @@ class PointToPlaneMatcher:
         """Replace the map wholesale (localization LoadLocalMap)."""
         c = self.cfg
         if isinstance(s, P2PlaneWindowState):
-            m = voxel_hash.build(
+            m = block_map.build(
                 c.map_capacity, c.bucket_size, map_cloud.points, map_cloud.mask,
                 self.inv, num_probes=c.num_probes,
             )
             return P2PlaneWindowState(s.w._replace(m=m))
-        fresh = voxel_hash.create(c.map_capacity, c.bucket_size, self.dtype)
-        m = voxel_hash.insert(
+        fresh = block_map.create(c.map_capacity, c.bucket_size, self.dtype)
+        m = block_map.insert(
             fresh, map_cloud.points, map_cloud.mask, self.inv,
             num_probes=c.num_probes, max_age=0, center_policy=True,
         )
@@ -551,15 +561,19 @@ class LoamFullMatcher:
         def hg_fn(t_mat, cand):
             cc, cp = cand
             hg_c = point_to_line_hg_cand(
-                t_mat, corner.points, cc, c.line_ratio_thresh, thr2)
+                t_mat, cc, c.line_ratio_thresh, thr2)
             hg_p = point_to_plane_hg_cand(
-                t_mat, planar.points, cp, c.point_to_planar_thresh, thr2)
+                t_mat, cp, c.point_to_planar_thresh, thr2)
             # the reference's convergence gate counts PLANAR matches only
             # (loam_full_kdtree.h:181-183), so the merged normal equations
             # carry the planar-only count as num_valid
             return merge_hg(hg_c, hg_p)._replace(num_valid=hg_p.num_valid)
 
-        res = run_gn_corr(corr_fn, hg_fn, t_init, self.gn_cfg)
+        radius = jnp.maximum(
+            _source_radius(corner.points, corner.mask),
+            _source_radius(planar.points, planar.mask))
+        res = run_gn_corr(corr_fn, hg_fn, t_init, self.gn_cfg,
+                          regather_radius=radius)
         ok = res.num_valid >= c.min_valid_planar
         res = res._replace(converged=ok)
 
@@ -613,7 +627,7 @@ class LoamFullMatcher:
         localization mode feeds the prebuilt map to every matcher the same way
         (Localization::LoadLocalMap)."""
         c = self.cfg
-        m = voxel_hash.build(
+        m = block_map.build(
             c.map_capacity, c.bucket_size, map_cloud.points, map_cloud.mask,
             self.inv, num_probes=c.num_probes,
         )
@@ -677,19 +691,13 @@ class NdtMatcher:
     def _insert(self, s: NdtState, world: Cloud) -> NdtState:
         c = self.cfg
         # first scan (or frozen-map localization) estimates all voxels
-        # regardless of count (incremental_ndt.h:131-143, 218-226)
-        m_first = ndt_map.insert(
+        # regardless of count (incremental_ndt.h:131-143, 218-226);
+        # estimate_all is traced, so this is ONE insert (the round-3 code
+        # computed both variants and selected — 2x the dominant map cost)
+        m2 = ndt_map.insert(
             s.m, world.points, world.mask, self.inv,
             max_age=c.max_age, min_points=c.min_points_in_voxel,
-            max_points=c.max_points_in_voxel, estimate_all=True,
-        )
-        m_later = ndt_map.insert(
-            s.m, world.points, world.mask, self.inv,
-            max_age=c.max_age, min_points=c.min_points_in_voxel,
-            max_points=c.max_points_in_voxel, estimate_all=False,
-        )
-        m2 = jax.tree.map(
-            lambda a, b: jnp.where(s.first_scan, a, b), m_first, m_later
+            max_points=c.max_points_in_voxel, estimate_all=s.first_scan,
         )
         # in localization mode the flag stays set so frozen-map reloads always
         # re-estimate every voxel (incremental_ndt.h:218-226)

@@ -27,9 +27,12 @@ import jax
 import jax.numpy as jnp
 
 from ..core.lie import so3_hat
+from ..maps import block_map
 from ..maps import ndt_map as ndt
 from ..maps import voxel_hash
+from ..ops import pallas_select
 from ..ops.lin3 import inv3, sym3_eigvalsh, sym3_principal_eigvec
+from ..ops.voxel import group_by_voxel
 
 
 class HG(NamedTuple):
@@ -98,17 +101,36 @@ def transform_points(t_mat: jax.Array, pts: jax.Array) -> jax.Array:
 
 class CandSet(NamedTuple):
     """Cached NN candidates: the M nearest map points per source point,
-    gathered at some past pose."""
+    gathered at some past pose, in COORDINATE-PLANE layout ([N, M] per
+    axis — a trailing dim of 3 pads to the 128-lane TPU tile and bloats
+    every elementwise pass ~40x, docs/ROOFLINE.md round 4).
 
-    pts: jax.Array  # [N, M, 3] candidate map points (world frame)
+    Rows are in VOXEL-SORTED order of the gather (the fused select kernel's
+    native order); `src`/`src_mask` carry the matching source points so no
+    scatter-back to the original order is ever needed — every consumer is an
+    order-invariant masked reduction."""
+
+    px: jax.Array  # [N, M] candidate x (world frame)
+    py: jax.Array  # [N, M]
+    pz: jax.Array  # [N, M]
     valid: jax.Array  # [N, M]
+    src: jax.Array  # [N, 3] source points in candidate-row order
+    src_mask: jax.Array  # [N]
+
+
+def _use_pallas_select(n: int, gcap: int) -> bool:
+    """The fused Pallas kernel needs the TPU backend and TQ-aligned shapes;
+    everything else uses the XLA fallback (CPU tests, odd capacities)."""
+    if n % pallas_select.TQ or gcap % pallas_select.TQ:
+        return False
+    return jax.default_backend() not in ("cpu",)
 
 
 def gather_candidates(
     t_mat: jax.Array,
     src: jax.Array,
     src_mask: jax.Array,
-    m: voxel_hash.VoxelHashMap,
+    m,
     inv_voxel_size,
     m_cand: int,
     stencil: str = "nearby26",
@@ -116,20 +138,75 @@ def gather_candidates(
     group_capacity: int | None = None,
 ) -> CandSet:
     """One stencil gather -> M nearest candidates per transformed source
-    point (the shared expensive stage of all KdTree-replacing matchers)."""
+    point (the shared expensive stage of all KdTree-replacing matchers).
+
+    Block-map path (the default): voxel-sort the transformed points, gather
+    the 8-block cover per unique voxel (block_map.gather_cover), then the
+    fused Pallas spread+distance+select kernel. Results stay in sorted
+    order. Legacy voxel-hash maps use the per-voxel stencil gather."""
     p_t = transform_points(t_mat, src)
+    if isinstance(m, block_map.BlockMap):
+        n = src.shape[0]
+        tq = pallas_select.TQ
+        gcap = group_capacity or n
+        gcap = -(-gcap // tq) * tq
+        g = group_by_voxel(p_t, src_mask, inv_voxel_size)
+        rep_tgt = jnp.where(
+            (g.rank == 0) & (g.group_id < gcap), g.group_id, gcap)
+        uniq = jnp.zeros((gcap, 3), jnp.int32).at[rep_tgt].set(
+            g.group_coords, mode="drop")
+        wnd = block_map.gather_cover(m, uniq, num_probes)
+        gid = jnp.minimum(g.group_id, gcap - 1)
+        sel = (pallas_select.fused_select if _use_pallas_select(n, gcap)
+               else pallas_select.fused_select_xla)
+        d2, px, py, pz = sel(wnd, gid, g.sorted_pts, m_cand, m.plane,
+                             stencil=stencil, qvox=g.group_coords)
+        valid = (
+            (d2 < 1e18)
+            & g.sorted_mask[:, None]
+            & (g.group_id < gcap)[:, None]
+        )
+        zero = jnp.zeros((), src.dtype)
+        px, py, pz = (jnp.where(valid, v, zero) for v in (px, py, pz))
+        return CandSet(px=px, py=py, pz=pz, valid=valid,
+                       src=src[g.order], src_mask=g.sorted_mask)
+
     nbrs, _d2, ok = voxel_hash.query_knn(
         m, p_t, inv_voxel_size, k=m_cand, stencil=stencil,
         num_probes=num_probes, group_capacity=group_capacity,
     )
-    return CandSet(pts=nbrs, valid=ok & src_mask[:, None])
+    valid = ok & src_mask[:, None]
+    return CandSet(
+        px=nbrs[..., 0], py=nbrs[..., 1], pz=nbrs[..., 2],
+        valid=valid, src=src, src_mask=src_mask,
+    )
 
 
-def _select_knn(t_mat: jax.Array, src: jax.Array, cand: CandSet, k: int):
+def query_knn_any(m, queries, inv_voxel_size, k, stencil, num_probes,
+                  group_capacity=None):
+    """Type-dispatched stencil k-NN (block map or legacy voxel hash)."""
+    mod = block_map if isinstance(m, block_map.BlockMap) else voxel_hash
+    return mod.query_knn(m, queries, inv_voxel_size, k=k, stencil=stencil,
+                         num_probes=num_probes, group_capacity=group_capacity)
+
+
+def _take_lanes(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """[N, M] values + [N, k] lane indices -> [N, k], via one-hot masked sums
+    (take_along_axis lane gathers cost ~25x more on TPU)."""
+    m = x.shape[1]
+    oh = idx[..., None] == jnp.arange(m, dtype=idx.dtype)  # [N, k, M]
+    return jnp.sum(jnp.where(oh, x[:, None, :], 0), axis=-1)
+
+
+def _select_knn(t_mat: jax.Array, cand: CandSet, k: int):
     """Re-select the k nearest cached candidates at the CURRENT pose.
     Returns (p_t [N,3], nbrs [N,k,3], d2 [N,k], ok [N,k])."""
-    p_t = transform_points(t_mat, src)
-    d2 = jnp.sum((cand.pts - p_t[:, None, :]) ** 2, axis=-1)
+    p_t = transform_points(t_mat, cand.src)
+    d2 = (
+        (cand.px - p_t[:, 0:1]) ** 2
+        + (cand.py - p_t[:, 1:2]) ** 2
+        + (cand.pz - p_t[:, 2:3]) ** 2
+    )
     d2 = jnp.where(cand.valid, d2, jnp.inf)
     if k == 1:
         idx = jnp.argmin(d2, axis=1)[:, None]
@@ -137,47 +214,47 @@ def _select_knn(t_mat: jax.Array, src: jax.Array, cand: CandSet, k: int):
     else:
         neg, idx = jax.lax.top_k(-d2, k)
         kd2 = -neg
-    nbrs = jnp.take_along_axis(cand.pts, idx[..., None], axis=1)
+    nbrs = jnp.stack(
+        [_take_lanes(cand.px, idx), _take_lanes(cand.py, idx),
+         _take_lanes(cand.pz, idx)], axis=-1)
     return p_t, nbrs, kd2, jnp.isfinite(kd2)
 
 
 def point_to_point_hg_cand(
-    t_mat: jax.Array, src: jax.Array, cand: CandSet, max_corr_dist_sq
+    t_mat: jax.Array, cand: CandSet, max_corr_dist_sq
 ) -> HG:
     """ICP linearization on the candidate cache: exact NN re-selection at the
     current pose (icp_optimized.h:78-116 per-iteration search semantics,
     restricted to the cached M-candidate set)."""
-    _, nbrs, d2, ok = _select_knn(t_mat, src, cand, 1)
+    _, nbrs, d2, ok = _select_knn(t_mat, cand, 1)
     corr = P2PCorr(q=nbrs[:, 0], valid=ok[:, 0] & (d2[:, 0] <= max_corr_dist_sq))
-    return point_to_point_hg_corr(t_mat, src, corr)
+    return point_to_point_hg_corr(t_mat, cand.src, corr)
 
 
 def point_to_plane_hg_cand(
-    t_mat: jax.Array, src: jax.Array, cand: CandSet, plane_thresh,
-    max_search_dist_sq,
+    t_mat: jax.Array, cand: CandSet, plane_thresh, max_search_dist_sq
 ) -> HG:
     """Point-to-plane on the candidate cache: 5-NN re-selection + plane
     re-fit + all gates evaluated at the CURRENT pose
     (loam_point_to_plane_kdtree.h:204-272 per-iteration semantics)."""
-    p_t, nbrs, d2, ok = _select_knn(t_mat, src, cand, 5)
+    p_t, nbrs, d2, ok = _select_knn(t_mat, cand, 5)
     ok = ok & (d2 <= max_search_dist_sq)
     normal, q0, fit_ok = fit_plane_5nn(nbrs, ok, plane_thresh)
     d = jnp.einsum("na,na->n", p_t - q0, normal)
-    src_norm = jnp.linalg.norm(src, axis=-1)
+    src_norm = jnp.linalg.norm(cand.src, axis=-1)
     near_reject = src_norm < 81.0 * d * d
     corr = PlaneCorr(normal=normal, q0=q0, valid=fit_ok & ~near_reject)
-    return point_to_plane_hg_corr(t_mat, src, corr)
+    return point_to_plane_hg_corr(t_mat, cand.src, corr)
 
 
 def point_to_line_hg_cand(
-    t_mat: jax.Array, src: jax.Array, cand: CandSet, line_ratio_thresh,
-    max_search_dist_sq,
+    t_mat: jax.Array, cand: CandSet, line_ratio_thresh, max_search_dist_sq
 ) -> HG:
     """Point-to-line on the candidate cache: 5-NN re-selection + covariance
     line re-fit at the CURRENT pose (loam_full_kdtree.h:211-273)."""
-    p_t, nbrs, d2, ok = _select_knn(t_mat, src, cand, 5)
+    p_t, nbrs, d2, ok = _select_knn(t_mat, cand, 5)
     all_ok = jnp.all(ok & (d2 <= max_search_dist_sq), axis=-1)
-    w = ok.astype(src.dtype)[..., None]
+    w = ok.astype(cand.src.dtype)[..., None]
     cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
     center = jnp.sum(nbrs * w, axis=1) / cnt
     centered = (nbrs - center[:, None, :]) * w
@@ -186,7 +263,7 @@ def point_to_line_hg_cand(
     line_ok = lams[:, 2] > line_ratio_thresh * lams[:, 1]
     n_dir = sym3_principal_eigvec(cov)
     corr = LineCorr(center=center, n_dir=n_dir, valid=all_ok & line_ok)
-    return point_to_line_hg_corr(t_mat, src, corr)
+    return point_to_line_hg_corr(t_mat, cand.src, corr)
 
 
 class P2PCorr(NamedTuple):
@@ -208,9 +285,8 @@ def point_to_point_corr(
     """Optimized-ICP correspondence search (icp_optimized.h:78-94):
     nearest map point within max distance."""
     p_t = transform_points(t_mat, src)
-    nbrs, d2, ok = voxel_hash.query_knn(
-        m, p_t, inv_voxel_size, k=1, stencil=stencil, num_probes=num_probes,
-        group_capacity=group_capacity,
+    nbrs, d2, ok = query_knn_any(
+        m, p_t, inv_voxel_size, 1, stencil, num_probes, group_capacity,
     )
     valid = src_mask & ok[:, 0] & (d2[:, 0] <= max_corr_dist_sq)
     return P2PCorr(q=nbrs[:, 0], valid=valid)
@@ -301,9 +377,8 @@ def point_to_plane_corr(
     rejection ||p|| < 81 d^2 (evaluated at the gather pose; frozen between
     re-gathers)."""
     p_t = transform_points(t_mat, src)
-    nbrs, d2, ok = voxel_hash.query_knn(
-        m, p_t, inv_voxel_size, k=5, stencil=stencil, num_probes=num_probes,
-        group_capacity=group_capacity,
+    nbrs, d2, ok = query_knn_any(
+        m, p_t, inv_voxel_size, 5, stencil, num_probes, group_capacity,
     )
     # reference gates on the 5th NN distance (loam_*_kdtree.h dist[4])
     ok = ok & (d2 <= max_search_dist_sq)
@@ -372,9 +447,8 @@ def point_to_line_corr(
     """5-NN covariance line fit (loam_full_kdtree.h:211-260): line direction
     = principal eigenvector, valid when sigma0 > ratio * sigma1."""
     p_t = transform_points(t_mat, src)
-    nbrs, d2, ok = voxel_hash.query_knn(
-        m, p_t, inv_voxel_size, k=5, stencil=stencil, num_probes=num_probes,
-        group_capacity=group_capacity,
+    nbrs, d2, ok = query_knn_any(
+        m, p_t, inv_voxel_size, 5, stencil, num_probes, group_capacity,
     )
     all_ok = jnp.all(ok & (d2 <= max_search_dist_sq), axis=-1)
 
@@ -507,7 +581,7 @@ def fitness_score(
     t_mat: jax.Array,
     src: jax.Array,
     src_mask: jax.Array,
-    m: voxel_hash.VoxelHashMap,
+    m,
     inv_voxel_size,
     max_range_sq,
     stencil: str = "nearby26",
@@ -519,9 +593,7 @@ def fitness_score(
     Note the reference accumulates *squared* kdtree distances; same here.
     """
     p_t = transform_points(t_mat, src)
-    _, d2, ok = voxel_hash.query_knn(
-        m, p_t, inv_voxel_size, k=1, stencil=stencil, num_probes=num_probes
-    )
+    _, d2, ok = query_knn_any(m, p_t, inv_voxel_size, 1, stencil, num_probes)
     good = src_mask & ok[:, 0] & (d2[:, 0] <= max_range_sq)
     n = jnp.sum(good, dtype=jnp.int32)
     s = jnp.sum(jnp.where(good, d2[:, 0], 0.0))
