@@ -336,3 +336,92 @@ class Frontend:
             mstate, fstate, scan_points, rel_times, mask,
             jnp.asarray(ref_time, self.dtype), deskew_seg, preint_seg, ring,
         )
+
+    # -- packed single-transfer feed path --------------------------------
+    # Each host->device transfer through the device tunnel is a multi-ms
+    # round trip, and the unpacked step needs ~14 of them per scan (scan
+    # points / rel-times / mask / ref-time / 2 IMU segments x 5 arrays).
+    # The live loop was host-transfer-bound at ~98 ms/frame against a
+    # ~29 ms device step (round-4 profile), so the scan bundle is packed
+    # into ONE f32 buffer on the host and unpacked with static slices on
+    # device — the feed-side mirror of StepResult.packed.
+
+    def packed_layout(self, scan_capacity: int, seg_capacity: int):
+        """(total_size, offsets) of the packed frame buffer."""
+        cap, s = scan_capacity, seg_capacity
+        sizes = {
+            "pts": cap * 3, "rts": cap, "mask": cap, "ref": 1,
+            "d_t": s, "d_gyro": s * 3, "d_accel": s * 3, "d_quat": s * 4,
+            "d_mask": s,
+            "p_t": s, "p_gyro": s * 3, "p_accel": s * 3, "p_quat": s * 4,
+            "p_mask": s,
+        }
+        offs, o = {}, 0
+        for k, v in sizes.items():
+            offs[k] = (o, o + v)
+            o += v
+        return o, offs
+
+    def pack_frame(self, points, rel_times, scan_capacity, ref_time,
+                   deskew_seg: ImuSegment, preint_seg: ImuSegment):
+        """Host-side (NumPy) assembly of the single-transfer frame buffer."""
+        import numpy as np
+
+        s = len(deskew_seg.t)
+        total, offs = self.packed_layout(scan_capacity, s)
+        buf = np.zeros(total, np.float32)
+
+        n = min(len(points), scan_capacity)
+        o = offs["pts"][0]
+        buf[o:o + n * 3] = np.asarray(points[:n], np.float32).reshape(-1)
+        buf[offs["rts"][0]:offs["rts"][0] + n] = rel_times[:n]
+        buf[offs["mask"][0]:offs["mask"][0] + n] = 1.0
+        buf[offs["ref"][0]] = ref_time
+        for pre, seg in (("d", deskew_seg), ("p", preint_seg)):
+            for name, arr in (("t", seg.t), ("gyro", seg.gyro),
+                              ("accel", seg.accel), ("quat", seg.quat),
+                              ("mask", seg.mask)):
+                a, b = offs[f"{pre}_{name}"]
+                buf[a:b] = np.asarray(arr, np.float32).reshape(-1)
+        return buf
+
+    def _unpack(self, buf, scan_capacity: int, seg_capacity: int):
+        cap, s = scan_capacity, seg_capacity
+        _, offs = self.packed_layout(cap, s)
+
+        def sl(k, shape=None):
+            a, b = offs[k]
+            v = buf[a:b]
+            return v.reshape(shape) if shape else v
+
+        def seg(pre):
+            return ImuSegment(
+                t=sl(f"{pre}_t"),
+                gyro=sl(f"{pre}_gyro", (s, 3)),
+                accel=sl(f"{pre}_accel", (s, 3)),
+                quat=sl(f"{pre}_quat", (s, 4)),
+                mask=sl(f"{pre}_mask") > 0.5,
+            )
+
+        pts = sl("pts", (cap, 3))
+        return (pts, sl("rts"), sl("mask") > 0.5, buf[offs["ref"][0]],
+                seg("d"), seg("p"))
+
+    def _step_packed_impl(self, mstate, fstate, buf, scan_capacity,
+                          seg_capacity):
+        pts, rts, mask, ref, dseg, pseg = self._unpack(
+            buf, scan_capacity, seg_capacity)
+        ring = self._default_ring(pts)
+        # rel_times are packed relative to scan start; the step consumes
+        # them relative to the reference (= scan end) like dispatch_scan did
+        return self._step_impl(mstate, fstate, pts, rts, mask, ref, dseg,
+                               pseg, ring)
+
+    def step_packed(self, mstate, fstate, buf_np, scan_capacity, seg_capacity):
+        if not hasattr(self, "_step_packed"):
+            self._step_packed = jax.jit(
+                self._step_packed_impl,
+                static_argnames=("scan_capacity", "seg_capacity"),
+            )
+        return self._step_packed(mstate, fstate, jnp.asarray(buf_np),
+                                 scan_capacity, seg_capacity)

@@ -16,14 +16,38 @@ from dataclasses import dataclass, field
 import numpy as np
 
 
-@dataclass
 class KeyFrame:
-    kf_id: int
-    timestamp: float
-    pose: np.ndarray  # [4, 4]
-    cloud: np.ndarray  # [n, 3] deskewed points in the lidar/body frame
-    planar: np.ndarray | None = None
-    corner: np.ndarray | None = None
+    """One keyframe. `cloud` (deskewed body-frame points) is LAZY: the hot
+    retire loop stores device references (`cloud_dev=(points, mask)`), and
+    the ~25-50 ms device->host round trip is paid only when a consumer
+    (loop-closure submap, save_map, persistence) first touches `.cloud` —
+    off the odometry critical path."""
+
+    def __init__(self, kf_id: int, timestamp: float, pose: np.ndarray,
+                 cloud: np.ndarray | None = None, planar=None, corner=None,
+                 cloud_dev=None):
+        self.kf_id = kf_id
+        self.timestamp = timestamp
+        self.pose = pose
+        self.planar = planar
+        self.corner = corner
+        self._cloud = cloud
+        self._cloud_dev = cloud_dev
+
+    @property
+    def cloud(self) -> np.ndarray:
+        if self._cloud is None:
+            import jax
+
+            pts, msk = jax.device_get(self._cloud_dev)
+            self._cloud = np.asarray(pts)[np.asarray(msk)].astype(np.float32)
+            self._cloud_dev = None
+        return self._cloud
+
+    @cloud.setter
+    def cloud(self, v) -> None:
+        self._cloud = v
+        self._cloud_dev = None
 
 
 @dataclass

@@ -37,8 +37,7 @@ def _feed_bag(system_or_localizer, cfg, bag_path: str, max_scans, init_pose=None
     n_done = 0
 
     def drain():
-        for p in in_flight:
-            obj.retire_scan(p)
+        obj.retire_batch(in_flight)
         in_flight.clear()
 
     for ev in read_bag(bag_path, cfg.lidar_topic, cfg.imu_topic,
@@ -65,7 +64,7 @@ def _feed_bag(system_or_localizer, cfg, bag_path: str, max_scans, init_pose=None
                 p = obj.dispatch_scan(scan.stamp, end, scan.points, scan.rel_times)
                 if p is not None:
                     in_flight.append(p)
-                if len(in_flight) >= 4:
+                if len(in_flight) >= 8:
                     drain()
             else:
                 obj.process_scan(scan.stamp, end, scan.points, scan.rel_times)
@@ -164,6 +163,27 @@ def main(argv=None):
     if len(out["poses"]):
         write_tum(os.path.join(args.output, "trajectory_tum.txt"),
                   out["times"], out["poses"])
+        # per-run render (the offline stand-in for the reference's live RViz
+        # topics, system.cpp:723-845): trajectory vs GT + map + scan status
+        from ..io.viz import save_run_png
+
+        gt_poses = None
+        if args.dataset == "synthetic":
+            gt = {round(t, 4): pose for t, pose in zip(ds.gt_times, ds.gt_poses)}
+            gt_poses = np.asarray(
+                [gt[round(t, 4)] for t in out["times"] if round(t, 4) in gt])
+        map_pts = None
+        kfs = getattr(runner, "keyframes", None)
+        if kfs is not None and len(kfs):
+            world = [kf.cloud[:: max(1, len(kf.cloud) // 4000)]
+                     @ kf.pose[:3, :3].T + kf.pose[:3, 3]
+                     for kf in kfs.frames]
+            map_pts = np.concatenate(world) if world else None
+        summary["viz"] = save_run_png(
+            os.path.join(args.output, "run.png"), out["poses"], gt_poses,
+            map_pts, getattr(runner, "stats", None),
+            title=f"{summary['mode']} — {os.path.basename(args.config)}",
+        )
     summary["wall_s"] = round(time.perf_counter() - t_wall, 2)
     print(json.dumps(summary))
 

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 
 from ..backend.loop_closure import LoopCloser, LoopClosureConfig
 from ..backend.pose_graph import PoseGraphBuilder, optimize as pg_optimize
-from ..core.lie import rotation_to_rpy
 from ..core.state import ImuSegment
 from ..imu.stream import ImuStream
 from ..registration import matchers
@@ -182,11 +181,18 @@ class SlamSystem:
             self.cfg.frontend.gravity = tuple(self.imu.gravity)
 
     def _is_keyframe(self, accum: np.ndarray) -> bool:
-        """System::IsKeyFrame (system.cpp:777-794)."""
+        """System::IsKeyFrame (system.cpp:777-794). Pure NumPy: this runs
+        per retired frame, and any jnp op here is a ~25-50 ms device round
+        trip through the tunnel (it alone capped round 4's live loop)."""
         if len(self.keyframes) == 0:
             return True
         d = np.linalg.norm(accum[:3, 3])
-        rpy = np.abs(np.asarray(rotation_to_rpy(jnp.asarray(accum[:3, :3]))))
+        r = accum[:3, :3]
+        rpy = np.abs([
+            np.arctan2(r[2, 1], r[2, 2]),
+            np.arcsin(np.clip(-r[2, 0], -1.0, 1.0)),
+            np.arctan2(r[1, 0], r[0, 0]),
+        ])
         return d > self.cfg.keyframe_delta_dist or (rpy > self.cfg.keyframe_delta_rotation).any()
 
     def dispatch_scan(self, t_start: float, scan_end: float, points, rel_times) -> dict | None:
@@ -205,45 +211,67 @@ class SlamSystem:
         if deskew_seg is None:
             return None
 
+        t0 = time.perf_counter()
+        if self.fstate is not None:
+            # steady path: ONE packed host->device transfer per scan (each
+            # transfer is a multi-ms tunnel round trip; the unpacked path's
+            # ~14 transfers made the live loop host-bound, docs/ROOFLINE.md)
+            prev_end = self._last_scan_end if self._last_scan_end is not None else t_start
+            preint_seg = self.imu.get_segment(prev_end, scan_end, cap)
+            if preint_seg is None:
+                return None
+            buf = self.frontend.pack_frame(
+                points, rel_times - (scan_end - t_start),
+                self.cfg.scan_capacity, scan_end, deskew_seg, preint_seg,
+            )
+            self.mstate, self.fstate, out = self.frontend.step_packed(
+                self.mstate, self.fstate, buf, self.cfg.scan_capacity, cap,
+            )
+            self._last_scan_end = scan_end
+            return {"init": False, "t": scan_end, "t0": t0,
+                    "pose_dev": out.pose, "out": out,
+                    "dpts": out.points, "dmask": out.mask}
+
+        # first frame (once per run): unpacked init path
         pts, rts, mask = pad_scan(points, rel_times, self.cfg.scan_capacity)
         dseg = to_device_segment(deskew_seg)
-
-        t0 = time.perf_counter()
-        if self.fstate is None:
-            if self._resume_pose is not None:
-                # resume: init at the last persisted keyframe pose
-                self.mstate, self.fstate, (dpts, dmask) = self.frontend.init_frame_at(
-                    self.mstate, self._resume_pose, pts,
-                    rts - (scan_end - t_start), mask, scan_end, dseg,
-                )
-            else:
-                # deskew reference = scan end; first frame seeds the map there
-                self.mstate, self.fstate, (dpts, dmask) = self.frontend.init_frame(
-                    self.mstate, pts, rts - (scan_end - t_start), mask, scan_end, dseg
-                )
-            self._last_scan_end = scan_end
-            return {"init": True, "t": scan_end, "t0": t0,
-                    "pose_dev": self.fstate.nav.pose, "out": None,
-                    "dpts": dpts, "dmask": dmask}
-
-        prev_end = self._last_scan_end if self._last_scan_end is not None else t_start
-        preint_seg = self.imu.get_segment(prev_end, scan_end, cap)
-        if preint_seg is None:
-            return None
-        pseg = to_device_segment(preint_seg)
-        self.mstate, self.fstate, out = self.frontend.step(
-            self.mstate, self.fstate, pts, rts - (scan_end - t_start), mask,
-            scan_end, dseg, pseg,
-        )
+        if self._resume_pose is not None:
+            # resume: init at the last persisted keyframe pose
+            self.mstate, self.fstate, (dpts, dmask) = self.frontend.init_frame_at(
+                self.mstate, self._resume_pose, pts,
+                rts - (scan_end - t_start), mask, scan_end, dseg,
+            )
+        else:
+            # deskew reference = scan end; first frame seeds the map there
+            self.mstate, self.fstate, (dpts, dmask) = self.frontend.init_frame(
+                self.mstate, pts, rts - (scan_end - t_start), mask, scan_end, dseg
+            )
         self._last_scan_end = scan_end
-        return {"init": False, "t": scan_end, "t0": t0,
-                "pose_dev": out.pose, "out": out,
-                "dpts": out.points, "dmask": out.mask}
+        return {"init": True, "t": scan_end, "t0": t0,
+                "pose_dev": self.fstate.nav.pose, "out": None,
+                "dpts": dpts, "dmask": dmask}
 
-    def retire_scan(self, pending: dict) -> dict:
+    def retire_batch(self, pendings: list) -> list:
+        """Retire several dispatched scans with ONE device->host round trip:
+        the per-frame [36] records are stacked on device and fetched as a
+        single array (each uncached fetch through the device tunnel costs
+        ~25-50 ms REGARDLESS of size — round-4 measurement — so per-frame
+        fetches, not compute, capped the live loop at ~12 fps)."""
+        idxs = [i for i, p in enumerate(pendings) if not p["init"]]
+        rows = {}
+        if idxs:
+            stacked = np.asarray(
+                jnp.stack([pendings[i]["out"].packed for i in idxs]),
+                np.float64)
+            rows = {i: stacked[j] for j, i in enumerate(idxs)}
+        return [self.retire_scan(p, rows.get(i))
+                for i, p in enumerate(pendings)]
+
+    def retire_scan(self, pending: dict, packed_row=None) -> dict:
         """Phase 2: materialize a dispatched scan's outputs on host and run
         the keyframe policy (System::ProcessMappingFrameCache,
-        system.cpp:627-689). Blocks until the device step finishes."""
+        system.cpp:627-689). Blocks until the device step finishes.
+        `packed_row` carries the pre-fetched frame record (retire_batch)."""
         scan_end = pending["t"]
         out = pending["out"]
         if pending["init"]:
@@ -254,7 +282,8 @@ class SlamSystem:
             # ONE device->host transfer for the whole frame record (each
             # transfer is a multi-ms round trip, and transfers queue behind
             # already-enqueued compute)
-            packed = np.asarray(out.packed, np.float64)
+            packed = (packed_row if packed_row is not None
+                      else np.asarray(out.packed, np.float64))
             pose = packed[:16].reshape(4, 4)
             converged = bool(packed[32] > 0.5)
             stats = {
@@ -276,16 +305,16 @@ class SlamSystem:
             if self._is_keyframe(self._accum_delta):
                 self._accum_delta = np.eye(4)
                 kf_id = len(self.keyframes)
-                # persist the DESKEWED body-frame cloud (the reference saves
-                # processed clouds per keyframe, keyframe.h:59-94) so submaps
-                # and map products are frame-consistent with the fused pose
-                kf_cloud = np.asarray(pending["dpts"])[np.asarray(pending["dmask"])]
+                # keep the DESKEWED body-frame cloud (the reference saves
+                # processed clouds per keyframe, keyframe.h:59-94) as a LAZY
+                # device reference — consumers (loop closure, save_map,
+                # persistence) pay the fetch off the odometry critical path
                 self.keyframes.add(
                     KeyFrame(
                         kf_id=kf_id,
                         timestamp=scan_end,
                         pose=pose,
-                        cloud=kf_cloud.astype(np.float32),
+                        cloud_dev=(pending["dpts"], pending["dmask"]),
                     )
                 )
                 stats["keyframe"] = True
@@ -375,7 +404,7 @@ class SlamSystem:
         # so the wait amortizes to ~1/B of a step per frame. The host-side
         # keyframe policy lags <= B scans, like the reference's queued
         # threads (system.h:163-187).
-        depth = 4
+        depth = 8
         pending: list = []
         for k, scan in enumerate(scans):
             scan_end = scan.t + scan_period
@@ -390,11 +419,11 @@ class SlamSystem:
             if nxt is not None:
                 pending.append(nxt)
             if len(pending) >= depth:
-                results.extend(self.retire_scan(p) for p in pending)
+                results.extend(self.retire_batch(pending))
                 pending.clear()
             if progress and k % 20 == 0:
                 print(f"scan {k}/{len(scans)}", flush=True)
-        results.extend(self.retire_scan(p) for p in pending)
+        results.extend(self.retire_batch(pending))
         return {
             "poses": np.asarray(self.trajectory),
             "times": np.asarray(self.trajectory_t),
