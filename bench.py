@@ -1,6 +1,7 @@
 """Benchmark: steady-state scan-match throughput of the fused frontend step
-on the real TPU, across ALL FIVE registration modes, on the synthetic
-dataset (no public bags ship in this image).
+on the real TPU, across the five registration modes + localization + a
+figure-8 loop-closure run, on the synthetic dataset (no public bags ship in
+this image).
 
 Baseline semantics (BASELINE.md): the reference publishes no numbers, so
 `vs_baseline` is measured against REFERENCE_CPU_FPS — the calibrated
@@ -8,20 +9,36 @@ estimate of the reference C++ pipeline's end-to-end frames/s on a desktop
 CPU, documented in BASELINE.md ("Reference CPU throughput estimate").
 The sensor itself runs at 10 Hz; `realtime_x` reports that multiple too.
 
-Throughput is measured as steady-state MEDIAN-window fps: with the depth-1
+Throughput is measured as steady-state MEDIAN-window fps: with the depth-8
 dispatch/retire pipeline the per-frame walls overlap, so fps comes from
 retire-timestamp deltas ((n-k)/(tr_n - tr_k)) over the second half of the
 run (compile-dominated first frames dropped).
+
+Robustness (the round-4 lesson — BENCH_r04 was rc=124/parsed:null because
+all five modes had to finish before anything printed):
+  * the HEADLINE mode (IcpOptimized, the BASELINE PR1 slice) runs first and
+    its numbers land in the result dict immediately;
+  * every further section is gated on an internal wall-clock budget
+    (BENCH_BUDGET_S, default 420 s) — sections that don't fit are recorded
+    in "skipped" instead of blocking the print;
+  * a watchdog thread force-emits whatever has completed at
+    BENCH_WATCHDOG_S (default 540 s) and exits 0 — this fires even if the
+    main thread is stuck inside a cold XLA compile (which holds the GIL for
+    minutes through the device tunnel);
+  * SIGTERM/SIGINT also emit-and-exit, so an external `timeout` kill still
+    yields a parsed JSON line.
 
 Prints exactly ONE JSON line.
 """
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
-# persistent XLA compilation cache: the full 5-mode bench traces ~10 large
+# persistent XLA compilation cache: the full bench traces ~10 large
 # programs and cold compiles via the axon tunnel can run minutes each;
 # cached reruns start in seconds (must be set before jax initializes)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
@@ -35,17 +52,82 @@ import numpy as np
 # 20 fps (50 ms/scan) is the documented midpoint estimate.
 REFERENCE_CPU_FPS = 20.0
 
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", "540"))
 
-def _steady_fps(slam) -> float:
-    trs = [s["tr"] for s in slam.stats if "tr" in s and not s.get("init")]
-    if len(trs) < 12:
+_T0 = time.monotonic()
+_EMITTED = threading.Event()
+# the single result object, filled in as sections complete; emit() prints
+# its current state exactly once no matter who calls first
+RESULT = {
+    "metric": "scan_match_fps",
+    "value": 0.0,
+    "unit": "frames/s",
+    "vs_baseline": 0.0,
+    "baseline_fps": REFERENCE_CPU_FPS,
+    "realtime_x": 0.0,
+    "ate_m": None,
+    "per_mode": {},
+    "skipped": [],
+    "device": "",
+}
+
+
+def _elapsed():
+    return time.monotonic() - _T0
+
+
+def emit(origin: str):
+    if _EMITTED.is_set():
+        return
+    _EMITTED.set()
+    RESULT["bench_wall_s"] = round(_elapsed(), 1)
+    if origin != "main":
+        RESULT["partial"] = origin
+    print(json.dumps(RESULT), flush=True)
+
+
+def _watchdog():
+    remaining = WATCHDOG_S - _elapsed()
+    while remaining > 0:
+        time.sleep(min(remaining, 5.0))
+        remaining = WATCHDOG_S - _elapsed()
+    emit("watchdog")
+    os._exit(0)
+
+
+def _on_signal(signum, frame):
+    emit(f"signal_{signum}")
+    os._exit(0)
+
+
+def _steady_fps(stats) -> float:
+    trs = [s["tr"] for s in stats if "tr" in s and not s.get("init")]
+    if len(trs) >= 12:
+        half = trs[len(trs) // 2:]
+        return (len(half) - 1) / (half[-1] - half[0]) if half[-1] > half[0] else 0.0
+    # synchronous loops (no retire timestamps): steady-state mean wall
+    walls = [s["wall"] for s in stats if "wall" in s and not s.get("init")]
+    if len(walls) < 8:
         return 0.0
-    half = trs[len(trs) // 2:]
-    return (len(half) - 1) / (half[-1] - half[0]) if half[-1] > half[0] else 0.0
+    half = walls[len(walls) // 2:]
+    m = float(np.mean(half))
+    return 1.0 / m if m > 0 else 0.0
 
 
-def _run_mode(ds, mode, mcfg, fe_cfg, scan_cap):
-    from funny_lidar_slam_tpu.io.trajectory import ate_rmse
+def _gt_aligned(ds, out):
+    gt_map = {round(t, 4): p for t, p in zip(ds.gt_times, ds.gt_poses)}
+    pairs = [(p, gt_map[round(t, 4)])
+             for t, p in zip(out["times"], out["poses"])
+             if round(t, 4) in gt_map]
+    if not pairs:
+        return np.zeros((0, 4, 4)), np.zeros((0, 4, 4))
+    return (np.asarray([p for p, _ in pairs]),
+            np.asarray([g for _, g in pairs]))
+
+
+def _run_mode(ds, mode, mcfg, fe_cfg, scan_cap, with_rpe=False):
+    from funny_lidar_slam_tpu.io.trajectory import ate_rmse, rpe_rmse
     from funny_lidar_slam_tpu.pipeline.system import SlamSystem, SystemConfig
 
     cfg = SystemConfig(
@@ -56,15 +138,96 @@ def _run_mode(ds, mode, mcfg, fe_cfg, scan_cap):
     )
     slam = SlamSystem(cfg)
     out = slam.run_dataset(ds)
-    fps = _steady_fps(slam)
-    gt_map = {round(t, 4): p for t, p in zip(ds.gt_times, ds.gt_poses)}
-    gt = np.asarray([gt_map[round(t, 4)] for t in out["times"]])
-    ate = ate_rmse(out["poses"], gt, align=True) if len(out["poses"]) else float("inf")
-    return {"fps": round(fps, 2), "ate_m": round(ate, 4),
-            "frames": len(out["poses"])}
+    fps = _steady_fps(slam.stats)
+    est, gt = _gt_aligned(ds, out)
+    ate = ate_rmse(est, gt, align=True) if len(est) else float("inf")
+    r = {"fps": round(fps, 2), "ate_m": round(ate, 4), "frames": len(out["poses"])}
+    if with_rpe and len(est) > 1:
+        r["rpe_m"] = round(rpe_rmse(est, gt), 4)
+    return r
+
+
+def _run_localization(ds, scan_cap):
+    """Localization-mode throughput against the frozen simulated world map
+    (Localization::Run equivalent, localization.cpp:226-268)."""
+    from funny_lidar_slam_tpu.io.simulator import make_world
+    from funny_lidar_slam_tpu.io.trajectory import ate_rmse
+    from funny_lidar_slam_tpu.localization.localizer import (
+        LocalizationConfig, Localizer)
+    from funny_lidar_slam_tpu.registration import matchers
+
+    cfg = LocalizationConfig(
+        registration_mode="IcpOptimized",
+        matcher_config=matchers.IcpConfig(
+            source_capacity=scan_cap, cloud_capacity=scan_cap,
+            merged_capacity=65536, map_capacity=65536,
+            is_localization_mode=True),
+        scan_capacity=scan_cap,
+        map_filter_size=0.4,
+        local_map_size=80.0,
+        local_map_boundary=20.0,
+        local_map_capacity=65536,
+    )
+    loc = Localizer(cfg)
+    loc.set_global_map(make_world(seed=7))
+    init = ds.scans[0].gt_pose
+    out = loc.run_dataset(ds, init)
+    fps = _steady_fps(loc.stats)
+    est, gt = _gt_aligned(ds, out)
+    ate = ate_rmse(est, gt, align=True) if len(est) else float("inf")
+    return {"fps": round(fps, 2), "ate_m": round(ate, 4), "frames": len(out["poses"])}
+
+
+def _run_figure8(scan_cap):
+    """Harder acceptance scenario: self-crossing figure-8 with loop closure
+    enabled — reports loop acceptance stats alongside fps/ATE (the
+    reference's multi-sequence validation stand-in, README.md:100-172)."""
+    from funny_lidar_slam_tpu.backend.loop_closure import LoopClosureConfig
+    from funny_lidar_slam_tpu.io.simulator import (
+        Figure8Trajectory, SimConfig, simulate)
+    from funny_lidar_slam_tpu.io.trajectory import ate_rmse
+    from funny_lidar_slam_tpu.pipeline.frontend import (
+        FrontendConfig, FUSION_TIGHT_OPT)
+    from funny_lidar_slam_tpu.pipeline.system import SlamSystem, SystemConfig
+    from funny_lidar_slam_tpu.registration import matchers
+
+    traj = Figure8Trajectory(amp_x=18.0, amp_y=9.0, omega=0.35)
+    ds = simulate(SimConfig(duration=24.0, points_per_scan=scan_cap, seed=11),
+                  traj=traj)
+    cfg = SystemConfig(
+        registration_mode="IcpOptimized",
+        matcher_config=matchers.IcpConfig(
+            source_capacity=scan_cap, cloud_capacity=scan_cap,
+            merged_capacity=65536, map_capacity=65536, local_map_size=20),
+        frontend=FrontendConfig(fusion_method=FUSION_TIGHT_OPT),
+        scan_capacity=scan_cap,
+        enable_loopclosure=True,
+        # the figure-8 revisits on a tighter index scale than the
+        # reference's 100-keyframe gates (loop_closure.cpp:50-56)
+        loopclosure=LoopClosureConfig(skip_near_loopclosure=20,
+                                      skip_near_keyframe=40,
+                                      near_neighbor_distance=5.0),
+    )
+    slam = SlamSystem(cfg)
+    out = slam.run_dataset(ds)
+    fps = _steady_fps(slam.stats)
+    est, gt = _gt_aligned(ds, out)
+    ate = ate_rmse(est, gt, align=True) if len(est) else float("inf")
+    fits = [float(r.fitness) for r in slam.loop_results
+            if getattr(r, "fitness", None) is not None]
+    return {
+        "fps": round(fps, 2), "ate_m": round(ate, 4),
+        "frames": len(out["poses"]),
+        "loops_accepted": len(slam.loop_results),
+        "loop_fitness_mean": round(float(np.mean(fits)), 3) if fits else None,
+    }
 
 
 def main():
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
 
     from funny_lidar_slam_tpu.io.simulator import SimConfig, simulate
@@ -72,6 +235,7 @@ def main():
     from funny_lidar_slam_tpu.pipeline.frontend import FrontendConfig, FUSION_TIGHT_OPT
     from funny_lidar_slam_tpu.registration import matchers
 
+    RESULT["device"] = str(jax.devices()[0])
     cap = 16384
     ds = simulate(SimConfig(duration=14.0, points_per_scan=cap, seed=7))
     tight = FrontendConfig(fusion_method=FUSION_TIGHT_OPT)
@@ -80,8 +244,9 @@ def main():
                          min_distance=1.5, max_distance=50.0)
     loam_fe = FrontendConfig(fusion_method=FUSION_TIGHT_OPT, lidar_geometry=geom)
 
+    # headline first (BASELINE PR1 slice: Optimized-ICP + tight coupling);
+    # the rest follow in cost order under the budget
     modes = {
-        # the headline mode (BASELINE PR1 slice: Optimized-ICP + tight)
         "IcpOptimized": (matchers.IcpConfig(
             source_capacity=cap, cloud_capacity=cap, merged_capacity=65536,
             map_capacity=65536, local_map_size=20), tight),
@@ -102,26 +267,36 @@ def main():
             source_capacity=cap, map_capacity=131072), tight),
     }
 
-    per_mode = {}
+    first = True
     for mode, (mcfg, fe_cfg) in modes.items():
+        if not first and _elapsed() > BUDGET_S:
+            RESULT["skipped"].append(mode)
+            continue
         try:
-            per_mode[mode] = _run_mode(ds, mode, mcfg, fe_cfg, cap)
+            r = _run_mode(ds, mode, mcfg, fe_cfg, cap, with_rpe=first)
         except Exception as e:  # keep the bench JSON well-formed
-            per_mode[mode] = {"fps": 0.0, "ate_m": float("inf"),
-                              "error": str(e)[:200]}
+            r = {"fps": 0.0, "ate_m": float("inf"), "error": str(e)[:200]}
+        RESULT["per_mode"][mode] = r
+        if first:
+            RESULT["value"] = r["fps"]
+            RESULT["vs_baseline"] = round(r["fps"] / REFERENCE_CPU_FPS, 2)
+            RESULT["realtime_x"] = round(r["fps"] / 10.0, 2)
+            RESULT["ate_m"] = r["ate_m"]
+            if "rpe_m" in r:
+                RESULT["rpe_m"] = r["rpe_m"]
+            first = False
 
-    fps = per_mode["IcpOptimized"]["fps"]
-    print(json.dumps({
-        "metric": "scan_match_fps",
-        "value": fps,
-        "unit": "frames/s",
-        "vs_baseline": round(fps / REFERENCE_CPU_FPS, 2),
-        "baseline_fps": REFERENCE_CPU_FPS,
-        "realtime_x": round(fps / 10.0, 2),
-        "ate_m": per_mode["IcpOptimized"]["ate_m"],
-        "per_mode": per_mode,
-        "device": str(jax.devices()[0]),
-    }))
+    for name, fn, args in (("Localization", _run_localization, (ds, cap)),
+                           ("Figure8_Loop", _run_figure8, (cap,))):
+        if _elapsed() > BUDGET_S:
+            RESULT["skipped"].append(name)
+            continue
+        try:
+            RESULT["per_mode"][name] = fn(*args)
+        except Exception as e:
+            RESULT["per_mode"][name] = {"fps": 0.0, "error": str(e)[:200]}
+
+    emit("main")
 
 
 if __name__ == "__main__":

@@ -155,8 +155,12 @@ def verify_candidate(
     t_est = t_init
     for res in cfg.ndt_resolutions:
         m = ndt_map.create(cfg.map_capacity)
+        # one-shot load of a dense submap: claim contention is at its worst,
+        # so spend the full probe window on claim rounds (mirrors
+        # block_map.build's stance; ndt_map.insert defaults to 3 which is
+        # tuned for incremental per-scan inserts)
         m = ndt_map.insert(m, tgt.points, tgt.mask, 1.0 / res, min_points=3,
-                           estimate_all=True)
+                           estimate_all=True, claim_rounds=8)
         gn = GNConfig(max_iters=cfg.refine_iterations, rotation_eps=1e-3,
                       position_eps=1e-3, update=UPDATE_NDT, use_stall_check=False)
         r = run_gn(

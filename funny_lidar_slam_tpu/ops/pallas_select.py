@@ -22,9 +22,11 @@ bit-exactly), distances are plane arithmetic, and the K winners are
 extracted by K rounds of {min, equality one-hot, masked reduction} — no
 gather anywhere.
 
-Tie semantics: candidates at exactly equal squared distance are averaged
-within a round and masked together, so a duplicated map point surfaces once
-instead of twice. Only bit-identical duplicates are affected.
+Tie semantics: each extraction round breaks exact-distance ties with a
+per-lane epsilon added to the selection key, so exactly ONE candidate wins
+per round; a bit-identical duplicated map point therefore surfaces once per
+round (the duplicate can still win a later round). Matches
+`fused_select_xla`'s argmin-lowest-index behavior up to lane order.
 
 Output layout: [N, 128] f32 rows packing [d2(K) | x(K) | y(K) | z(K)] in
 the SORTED query order (consumers that need the original order scatter by

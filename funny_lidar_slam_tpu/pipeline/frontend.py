@@ -67,6 +67,12 @@ class StepResult(NamedTuple):
     # multi-ms round trip through the device tunnel): [pose(16), delta(16),
     # converged, num_valid, iters, fitness]
     packed: jax.Array  # [36]
+    # LOAM-geometry modes: the extracted feature clouds (body frame), so
+    # keyframes can persist corner/planar like the reference
+    # (keyframe.h:59-94) and LOAM resume can reseed real feature maps.
+    # None when no lidar_geometry is configured.
+    corner: Any  # Cloud | None
+    planar: Any  # Cloud | None
 
 
 @dataclass
@@ -141,17 +147,22 @@ class Frontend:
         return self._init_from_nav(mstate, nav, points, rel_times, mask,
                                    ref_time, segment, ring)
 
-    def _init_at_impl(self, mstate, pose, points, rel_times, mask, ref_time,
-                      segment: ImuSegment, ring):
+    def _init_at_impl(self, mstate, pose, vel, points, rel_times, mask,
+                      ref_time, segment: ImuSegment, ring):
         """Init at a GIVEN pose (mapping resume: continue from the last
-        keyframe's pose instead of the IMU orientation; velocity/biases
-        restart at zero with the first-frame prior)."""
+        keyframe's pose instead of the IMU orientation; biases restart at
+        zero with the first-frame prior; `vel` carries the finite-difference
+        velocity of the last two persisted keyframes so a mid-motion resume
+        does not start from a standstill assumption)."""
         nav = initial_nav_state(segment.quat[0], self.dtype)
         nav = nav._replace(r=pose[:3, :3].astype(self.dtype),
-                           p=pose[:3, 3].astype(self.dtype))
-        # unlike the standstill first-frame init, a resumed run may be in
-        # motion: loosen the zero-velocity prior (std 0.01 -> 1.0 m/s)
-        info = nav.info.at[3:6, 3:6].set(jnp.eye(3, dtype=self.dtype))
+                           p=pose[:3, 3].astype(self.dtype),
+                           v=vel.astype(self.dtype))
+        # unlike the standstill first-frame init, a resumed run is in
+        # motion: the keyframe finite difference is good to ~keyframe_dist *
+        # rotation-rate, so std 0.01 -> 0.5 m/s
+        info = nav.info.at[3:6, 3:6].set(
+            jnp.eye(3, dtype=self.dtype) / 0.5**2)
         nav = nav._replace(info=info)
         return self._init_from_nav(mstate, nav, points, rel_times, mask,
                                    ref_time, segment, ring)
@@ -194,12 +205,18 @@ class Frontend:
         return self.matcher.add_first(mstate, cloud, pose)
 
     def _matcher_match(self, mstate, cloud: Cloud, pose, ring=None, rel_times=None):
+        """Returns (mstate, GNResult, feats) where feats is the
+        (corner, planar) Cloud pair in LOAM-geometry modes (persisted per
+        keyframe like the reference, keyframe.h:59-94) or None."""
         if self.cfg.lidar_geometry is not None:
             planar, corner = self._process(cloud, ring, rel_times)
             if isinstance(self.matcher, LoamFullMatcher):
-                return self.matcher.match(mstate, corner, planar, pose)
-            return self.matcher.match(mstate, planar, pose)
-        return self.matcher.match(mstate, cloud, pose)
+                ms, res = self.matcher.match(mstate, corner, planar, pose)
+            else:
+                ms, res = self.matcher.match(mstate, planar, pose)
+            return ms, res, (corner, planar)
+        ms, res = self.matcher.match(mstate, cloud, pose)
+        return ms, res, None
 
     def _step_impl(
         self,
@@ -243,7 +260,7 @@ class Frontend:
         else:
             raise NotImplementedError(cfg.fusion_method)
 
-        mstate, res = self._matcher_match(mstate, cloud, pred.pose, ring, rel_times)
+        mstate, res, feats = self._matcher_match(mstate, cloud, pred.pose, ring, rel_times)
 
         if cfg.fusion_method == FUSION_TIGHT_OPT:
             fused = tight_fuse(nav, pre, res.t_mat, pred._replace(t=ref_time.astype(dtype)),
@@ -288,6 +305,8 @@ class Frontend:
             points=pts,
             mask=msk,
             packed=packed,
+            corner=feats[0] if feats else None,
+            planar=feats[1] if feats else None,
         )
         return mstate, new_fstate, out
 
@@ -321,12 +340,14 @@ class Frontend:
         )
 
     def init_frame_at(self, mstate, pose, scan_points, rel_times, mask,
-                      ref_time, segment, ring=None):
+                      ref_time, segment, ring=None, velocity=None):
         """Init at a given world pose (mapping resume)."""
         ring = self._default_ring(scan_points) if ring is None else ring
+        vel = (jnp.zeros(3, self.dtype) if velocity is None
+               else jnp.asarray(velocity, self.dtype))
         return self._init_at_step(
-            mstate, jnp.asarray(pose, self.dtype), scan_points, rel_times, mask,
-            jnp.asarray(ref_time, self.dtype), segment, ring,
+            mstate, jnp.asarray(pose, self.dtype), vel, scan_points,
+            rel_times, mask, jnp.asarray(ref_time, self.dtype), segment, ring,
         )
 
     def step(self, mstate, fstate, scan_points, rel_times, mask, ref_time, deskew_seg,
@@ -412,8 +433,9 @@ class Frontend:
         pts, rts, mask, ref, dseg, pseg = self._unpack(
             buf, scan_capacity, seg_capacity)
         ring = self._default_ring(pts)
-        # rel_times are packed relative to scan start; the step consumes
-        # them relative to the reference (= scan end) like dispatch_scan did
+        # rel_times arrive already shifted to the reference frame by the
+        # caller (system.dispatch_scan packs absolute-ref-relative times),
+        # so the step consumes them as-is
         return self._step_impl(mstate, fstate, pts, rts, mask, ref, dseg,
                                pseg, ring)
 

@@ -167,11 +167,19 @@ def main(argv=None):
         # topics, system.cpp:723-845): trajectory vs GT + map + scan status
         from ..io.viz import save_run_png
 
+        viz_poses = out["poses"]
         gt_poses = None
         if args.dataset == "synthetic":
             gt = {round(t, 4): pose for t, pose in zip(ds.gt_times, ds.gt_poses)}
-            gt_poses = np.asarray(
-                [gt[round(t, 4)] for t in out["times"] if round(t, 4) in gt])
+            # keep est/gt rows index-aligned: drop the est rows whose stamp
+            # has no GT rather than only filtering gt (a single dropped stamp
+            # would otherwise shift every later pair in the error curve)
+            pairs = [(p, gt[round(t, 4)])
+                     for t, p in zip(out["times"], out["poses"])
+                     if round(t, 4) in gt]
+            if pairs:
+                viz_poses = np.asarray([p for p, _ in pairs])
+                gt_poses = np.asarray([g for _, g in pairs])
         map_pts = None
         kfs = getattr(runner, "keyframes", None)
         if kfs is not None and len(kfs):
@@ -180,7 +188,7 @@ def main(argv=None):
                      for kf in kfs.frames]
             map_pts = np.concatenate(world) if world else None
         summary["viz"] = save_run_png(
-            os.path.join(args.output, "run.png"), out["poses"], gt_poses,
+            os.path.join(args.output, "run.png"), viz_poses, gt_poses,
             map_pts, getattr(runner, "stats", None),
             title=f"{summary['mode']} — {os.path.basename(args.config)}",
         )

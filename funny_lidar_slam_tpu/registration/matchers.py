@@ -134,9 +134,11 @@ def window_add(
     merged_pts = window_pts.reshape(-1, 3)
     merged_mask = window_mask.reshape(-1)
     ds = voxel_downsample(merged_pts, merged_mask, map_filter_size, merged_capacity)
+    # build() takes the VOXEL capacity; the live map stores blocks at
+    # voxel_capacity // 2 slots (block_map.create), so reverse that here
     m = block_map.build(
-        s.m.capacity, s.m.bucket_size, ds.points, ds.mask, nn_inv_voxel,
-        num_probes=num_probes,
+        s.m.block_capacity * 2, s.m.bucket_size, ds.points, ds.mask,
+        nn_inv_voxel, num_probes=num_probes,
     )
     return WindowMapState(
         m=m,

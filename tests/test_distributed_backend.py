@@ -74,3 +74,101 @@ def test_builder_grows_past_capacity():
     g = b.to_device()
     out = pose_graph.optimize(g, iterations=2)
     assert np.isfinite(np.asarray(out.poses)).all()
+
+
+# ---------------------------------------------------------------------------
+# Region-sharded device map with halo exchange (parallel/sharded_map.py —
+# the SURVEY §2.6 "sharding of state" component: voxel blocks sharded over
+# the mesh, stencil halos via the replicate+mask exchange, psum H/g)
+# ---------------------------------------------------------------------------
+
+
+def _sharded_scene(n=4096, seed=0, extent=40.0):
+    rng = np.random.default_rng(seed)
+    kinds = rng.integers(0, 3, n)
+    pts = rng.uniform(0, extent, (n, 3)).astype(np.float32)
+    pts[kinds == 0, 2] = 0.0
+    pts[kinds == 1, 1] = np.round(pts[kinds == 1, 1] / 10.0) * 10.0
+    pts[kinds == 2, 0] = np.round(pts[kinds == 2, 0] / 10.0) * 10.0
+    return pts
+
+
+def test_sharded_map_blocks_live_on_different_devices():
+    import jax.numpy as jnp
+    from funny_lidar_slam_tpu.parallel import sharded_map as smap
+
+    mesh = make_mesh(jax.devices()[:8])
+    cfg = smap.ShardedMapConfig(tile_size=8.0, voxel_size=1.0,
+                                map_capacity=8192)
+    sm = smap.create_sharded(mesh, cfg)
+    ins = smap.insert_sharded(mesh, cfg)
+    pts = jnp.asarray(_sharded_scene())
+    sm = ins(sm, pts, jnp.ones(len(pts), bool))
+    occ = np.asarray(smap.shard_occupancy(sm))
+    # a 40 m scene over 8 m tiles spreads across all 8 devices
+    assert (occ > 0).sum() >= 6, occ
+    # halo duplication is bounded: total stored blocks < 3x a single map's
+    full = np.asarray(jnp.sum(
+        (jax.jit(lambda s: s.fp)(sm) != 0).astype(np.int32)))
+    assert occ.sum() == full
+
+
+def test_sharded_map_gn_matches_replicated():
+    """The sharded GN step must land on the same pose as the replicated
+    single-map step (halo width >= stencil reach makes every per-point
+    contribution identical; only the psum summation order differs). The
+    scene keeps per-voxel occupancy under bucket_size — overfull voxels
+    retain insertion-order-dependent subsets, the documented parity
+    boundary (sharded_map.py module docstring)."""
+    import jax.numpy as jnp
+    from funny_lidar_slam_tpu.core.lie import se3_exp
+    from funny_lidar_slam_tpu.maps import block_map
+    from funny_lidar_slam_tpu.ops.lin3 import solve6_damped
+    from funny_lidar_slam_tpu.core.lie import so3_exp
+    from funny_lidar_slam_tpu.parallel import sharded_map as smap
+    from funny_lidar_slam_tpu.registration.residuals import point_to_point_hg
+
+    mesh = make_mesh(jax.devices()[:8])
+    # capacity sized for LOW load: parity requires no bucket overflow (see
+    # sharded_map docstring) and no block-claim loss (keep the block table
+    # well under ~0.3 load; ~3k occupied blocks vs 16k slots here)
+    cfg = smap.ShardedMapConfig(tile_size=8.0, voxel_size=1.0,
+                                map_capacity=32768)
+    rng = np.random.default_rng(1)
+    map_pts = np.concatenate([
+        rng.uniform(0, 40.0, (6144, 2)),
+        rng.uniform(0, 8.0, (6144, 1)),
+    ], axis=1).astype(np.float32)
+    map_pts = jnp.asarray(map_pts)
+    t_true = se3_exp(jnp.asarray([0.12, -0.1, 0.05, 0.02, -0.01, 0.03],
+                                 jnp.float32))
+    src = (map_pts - t_true[:3, 3]) @ t_true[:3, :3]
+    msk = jnp.ones(len(map_pts), bool)
+
+    # sharded path
+    sm = smap.create_sharded(mesh, cfg)
+    sm = smap.insert_sharded(mesh, cfg)(sm, map_pts, msk)
+    step = smap.sharded_gn_step(mesh, cfg, max_corr_dist_sq=1.0, iters=8)
+    t_sharded = np.asarray(step(sm, src, msk, jnp.eye(4, dtype=jnp.float32)))
+
+    # replicated baseline: same body, one full map, one device
+    m_full = block_map.build(cfg.map_capacity, cfg.bucket_size, map_pts, msk,
+                             1.0 / cfg.voxel_size,
+                             num_probes=cfg.num_probes)
+
+    @jax.jit
+    def rep_step(t0):
+        def body(_, t_mat):
+            hg = point_to_point_hg(t_mat, src, msk, m_full,
+                                   1.0 / cfg.voxel_size, 1.0,
+                                   cfg.stencil, cfg.num_probes)
+            dx = solve6_damped(hg.h, hg.g)
+            out = t_mat.at[:3, 3].add(dx[:3])
+            return out.at[:3, :3].set(t_mat[:3, :3] @ so3_exp(dx[3:]))
+        return jax.lax.fori_loop(0, 8, body, t0)
+
+    t_rep = np.asarray(rep_step(jnp.eye(4, dtype=jnp.float32)))
+    np.testing.assert_allclose(t_sharded, t_rep, atol=1e-4)
+    # and both recover the ground-truth transform
+    np.testing.assert_allclose(t_sharded[:3, 3], np.asarray(t_true)[:3, 3],
+                               atol=0.03)

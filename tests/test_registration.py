@@ -100,6 +100,34 @@ def test_icp_empty_map_not_converged():
     assert not bool(res.converged)
 
 
+def test_icp_rebuild_window_mode():
+    """Round-4 advisor (high): the reference-exact rebuild policy
+    (incremental_map=False, the kdtree-rebuild semantics of
+    icp_optimized.h:165-189) crashed with AttributeError at the first
+    window_add — BlockMap exposes block_capacity, not capacity. Gate:
+    seed + match + a second insert all work in rebuild mode."""
+    rng = np.random.default_rng(13)
+    pts = rng.uniform(0, 10, (4000, 3)).astype(np.float32)
+    cfg = matchers.IcpConfig(
+        source_capacity=4096, cloud_capacity=4096, merged_capacity=8192,
+        map_capacity=8192, max_correspond_distance=1.5,
+        source_filter_size=0.01, map_filter_size=0.01,
+        position_converge_thresh=1e-4, rotation_converge_thresh=1e-4,
+        incremental_map=False, local_map_size=3,
+    )
+    m = matchers.IcpMatcher(cfg)
+    map_cloud, src, t_true = make_problem(pts, 4096)
+    s = m.create_state()
+    s = m.add_first(s, map_cloud, jnp.eye(4))
+    assert s.window_pts.shape[0] == 3  # real ring buffer, not the 1-slot stub
+    s, res = m.match(s, src, jnp.eye(4))  # traces window_add via lax.cond
+    tp, rp = pose_err(res.t_mat, t_true)
+    assert bool(res.converged)
+    assert tp < 0.05 and rp < 0.01, (tp, rp)
+    s2 = m.add_first(s, map_cloud, jnp.eye(4))  # ring head > 0 rebuild
+    assert int(s2.filled) == min(int(s.filled) + 1, 3)
+
+
 def test_point_to_plane_ivox_recovers_transform():
     pts = room_scene(spacing=0.25)
     cfg = matchers.PointToPlaneConfig(
