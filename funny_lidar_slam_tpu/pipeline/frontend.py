@@ -135,9 +135,14 @@ class Frontend:
             if cfg.t_lidar_to_imu is None
             else jnp.asarray(cfg.t_lidar_to_imu, dtype)
         )
-        self._step = jax.jit(self._step_impl)
-        self._init_step = jax.jit(self._init_impl)
-        self._init_at_step = jax.jit(self._init_at_impl)
+        # aot_jit = jax.jit + disk-backed executable cache: this platform's
+        # PJRT plugin has no persistent compile cache, and a cold compile of
+        # the fused step runs minutes through the device tunnel
+        from ..utils.aot_cache import aot_jit
+
+        self._step = aot_jit(self._step_impl)
+        self._init_step = aot_jit(self._init_impl)
+        self._init_at_step = aot_jit(self._init_at_impl)
 
     # -- first frame: init odometer + seed map (frontend.cpp:177-183) --
     def _init_impl(self, mstate, points, rel_times, mask, ref_time, segment: ImuSegment, ring):
@@ -441,9 +446,13 @@ class Frontend:
 
     def step_packed(self, mstate, fstate, buf_np, scan_capacity, seg_capacity):
         if not hasattr(self, "_step_packed"):
-            self._step_packed = jax.jit(
+            from ..utils.aot_cache import aot_jit
+
+            self._step_packed = aot_jit(
                 self._step_packed_impl,
                 static_argnames=("scan_capacity", "seg_capacity"),
             )
+        # statics as kwargs: aot_jit bakes them into the cached executable
         return self._step_packed(mstate, fstate, jnp.asarray(buf_np),
-                                 scan_capacity, seg_capacity)
+                                 scan_capacity=scan_capacity,
+                                 seg_capacity=seg_capacity)

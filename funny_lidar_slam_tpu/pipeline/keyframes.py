@@ -130,13 +130,15 @@ class KeyFrameStore:
         )
 
     def flush_poses(self) -> None:
-        """Re-persist poses after a pose-graph rewrite (the npz files carry
-        the pose at save time; resume folds corrections in via the graph)."""
-        if not self.save_dir:
+        """Persist the CURRENT poses as a sidecar (poses.npy). The per-
+        keyframe npz files carry the pose at save time, which goes stale
+        when a loop closure rewrites history (system.cpp:711-718) —
+        rewriting every npz per loop would cost N cloud writes, so load()
+        overrides poses from this cheap sidecar instead."""
+        if not self.save_dir or not self.frames:
             return
-        for kf in self.frames:
-            if kf.materialized:
-                self.flush(kf)
+        os.makedirs(self.save_dir, exist_ok=True)
+        np.save(os.path.join(self.save_dir, "poses.npy"), self.poses())
 
     def __len__(self) -> int:
         return len(self.frames)
@@ -170,4 +172,10 @@ class KeyFrameStore:
                 )
             )
             i += 1
+        # loop-closure-corrected poses live in the sidecar (flush_poses)
+        pose_path = os.path.join(save_dir, "poses.npy")
+        if os.path.exists(pose_path):
+            poses = np.load(pose_path)
+            if len(poses) >= len(store.frames):
+                store.set_poses(poses[: len(store.frames)])
         return store

@@ -407,6 +407,9 @@ class SlamSystem:
         new_poses = np.asarray(g.poses)
         self.graph.set_poses(new_poses)
         self.keyframes.set_poses(new_poses[: self.graph.n_vertices])
+        # persist the corrected history so a resume starts from the
+        # loop-consistent poses (cheap sidecar, not N npz rewrites)
+        self.keyframes.flush_poses()
 
     # -- map products ----------------------------------------------------
     def save_map(self, map_dir: str, voxel_size: float = 0.3,
