@@ -26,7 +26,6 @@ from dataclasses import dataclass
 import numpy as np
 import jax.numpy as jnp
 
-from ..core.cloud import Cloud
 from ..maps import block_map, ndt_map
 from ..registration.gn import GNConfig, UPDATE_NDT, UPDATE_LOAM, run_gn
 from ..registration.residuals import fitness_score, ndt_hg, point_to_plane_hg
@@ -81,9 +80,13 @@ def detect_by_distance(
     return None
 
 
-def _merge_submap(frames, ids, poses, local_frame_of: int | None, cfg: LoopClosureConfig):
+def _merge_submap(frames, ids, poses, local_frame_of: int | None,
+                  cfg: LoopClosureConfig, capacity: int):
     """Merge keyframe clouds over `ids`; world frame, or local to keyframe
-    `local_frame_of` when given (GetSubMap semantics)."""
+    `local_frame_of` when given (GetSubMap semantics). Returns a PADDED
+    (points [capacity, 3], mask [capacity]) pair — fixed shapes keep the
+    verify cascade a single cached executable instead of a fresh compile
+    per unique submap size."""
     pts = []
     inv_ref = np.linalg.inv(poses[local_frame_of]) if local_frame_of is not None else np.eye(4)
     for i in ids:
@@ -91,17 +94,96 @@ def _merge_submap(frames, ids, poses, local_frame_of: int | None, cfg: LoopClosu
         t = inv_ref @ poses[i]
         pts.append(c @ t[:3, :3].T + t[:3, 3])
     merged = np.concatenate(pts).astype(np.float32)
-    if len(merged) > cfg.submap_capacity:
+    if len(merged) > capacity:
         # keep GetSubMap's pure voxel-filter semantics (loop_closure.cpp:179-231):
         # pre-filter at the submap voxel size on host until it fits (never a
         # random subsample, which would bias the NDT statistics)
         from ..native import voxel_downsample as host_voxel
 
         size = cfg.submap_filter_size
-        while len(merged) > cfg.submap_capacity:
+        while len(merged) > capacity:
             merged = host_voxel(merged, size).astype(np.float32)
             size *= 1.5
-    return merged
+    out = np.zeros((capacity, 3), np.float32)
+    msk = np.zeros(capacity, bool)
+    out[: len(merged)] = merged
+    msk[: len(merged)] = True
+    return out, msk
+
+
+def _verify_cascade(cfg: LoopClosureConfig, src_pts, src_mask, tgt_pts,
+                    tgt_mask, t_init):
+    """Device half of LoopClosure::Match as ONE traced program: voxel
+    filters -> fine block map -> coarse-to-fine NDT -> point-to-plane
+    refine -> fitness, with the stage-acceptance logic as lax selects.
+    One program (AOT-disk-cached) replaces the eager swarm that cold-
+    compiled for minutes on the first accepted loop of a fresh process."""
+    from ..ops.voxel import voxel_downsample
+
+    nn_inv = 1.0 / cfg.nn_voxel_size
+    tgt = voxel_downsample(tgt_pts, tgt_mask, cfg.submap_filter_size,
+                           cfg.submap_capacity)
+    src = voxel_downsample(src_pts, src_mask, cfg.submap_filter_size,
+                           cfg.source_capacity)
+    mp = block_map.build(cfg.map_capacity, cfg.bucket_size, tgt.points,
+                         tgt.mask, nn_inv)
+
+    def fit_of(t):
+        return fitness_score(t, src.points, src.mask, mp, nn_inv,
+                             max_range_sq=cfg.fitness_max_range**2)
+
+    # coarse-to-fine NDT; unlike the reference's open-loop cascade
+    # (loop_closure.cpp:242-257), each stage result is accepted only if it
+    # improves the fine fitness — a diverging coarse stage cannot destroy a
+    # good odometry initial guess.
+    best_t, best_fit = t_init, fit_of(t_init)
+    t_est = t_init
+    for res in cfg.ndt_resolutions:
+        m = ndt_map.create(cfg.map_capacity)
+        # one-shot dense load: spend the full probe window on claim rounds
+        # (ndt_map.insert's default 3 is tuned for incremental scans)
+        m = ndt_map.insert(m, tgt.points, tgt.mask, 1.0 / res, min_points=3,
+                           estimate_all=True, claim_rounds=8)
+        gn = GNConfig(max_iters=cfg.refine_iterations, rotation_eps=1e-3,
+                      position_eps=1e-3, update=UPDATE_NDT,
+                      use_stall_check=False)
+        r = run_gn(
+            lambda t: ndt_hg(t, src.points, src.mask, m, 1.0 / res, 30.0),
+            t_est, gn)
+        t_est = r.t_mat
+        f = fit_of(t_est)
+        better = f < best_fit
+        best_t = jnp.where(better, t_est, best_t)
+        best_fit = jnp.where(better, f, best_fit)
+
+    # fine refine: point-to-plane (GICP stand-in), from the best pose so far
+    gn = GNConfig(max_iters=cfg.refine_iterations, rotation_eps=1e-4,
+                  position_eps=1e-4, update=UPDATE_LOAM, use_stall_check=True)
+    r = run_gn(
+        lambda t: point_to_plane_hg(t, src.points, src.mask, mp, nn_inv, 0.3,
+                                    cfg.fitness_max_range**2),
+        best_t, gn)
+    f = fit_of(r.t_mat)
+    better = f < best_fit
+    best_t = jnp.where(better, r.t_mat, best_t)
+    best_fit = jnp.where(better, f, best_fit)
+    return best_t, best_fit
+
+
+_CASCADE_CACHE: dict = {}
+
+
+def _cascade_program(cfg: LoopClosureConfig):
+    import functools
+
+    from ..utils.aot_cache import aot_jit
+
+    key = repr(cfg)
+    prog = _CASCADE_CACHE.get(key)
+    if prog is None:
+        prog = aot_jit(functools.partial(_verify_cascade, cfg))
+        _CASCADE_CACHE[key] = prog
+    return prog
 
 
 def verify_candidate(
@@ -118,77 +200,22 @@ def verify_candidate(
                      min(n, candidate_id + cfg.candidate_right + 1))
     curr_ids = range(max(0, current_id - cfg.current_left), current_id + 1)
 
-    target_w = _merge_submap(frames, cand_ids, poses, None, cfg)  # world frame
-    source_l = _merge_submap(frames, curr_ids, poses, current_id, cfg)  # local
-
-    # voxel-filter both (0.2 like the reference) on device
-    from ..ops.voxel import voxel_downsample
-
-    tgt = voxel_downsample(
-        jnp.asarray(target_w), jnp.ones(len(target_w), bool),
-        cfg.submap_filter_size, cfg.submap_capacity,
-    )
-    src = voxel_downsample(
-        jnp.asarray(source_l), jnp.ones(len(source_l), bool),
-        cfg.submap_filter_size, cfg.source_capacity,
-    )
+    # padded world-frame target / local-frame source (fixed shapes)
+    tgt_pts, tgt_mask = _merge_submap(frames, cand_ids, poses, None, cfg,
+                                      cfg.submap_capacity)
+    src_pts, src_mask = _merge_submap(frames, curr_ids, poses, current_id,
+                                      cfg, cfg.source_capacity)
 
     t_init = jnp.asarray(poses[current_id], jnp.float32)
+    best_t, best_fit = _cascade_program(cfg)(
+        jnp.asarray(src_pts), jnp.asarray(src_mask),
+        jnp.asarray(tgt_pts), jnp.asarray(tgt_mask), t_init)
 
-    # shared fine map for fitness evaluation + final refine
-    nn_inv = 1.0 / cfg.nn_voxel_size
-    mp = block_map.build(
-        cfg.map_capacity, cfg.bucket_size, tgt.points, tgt.mask, nn_inv
-    )
-
-    def fit_of(t):
-        return float(fitness_score(
-            t, src.points, src.mask, mp, nn_inv,
-            max_range_sq=cfg.fitness_max_range**2,
-        ))
-
-    # coarse-to-fine NDT; unlike the reference's open-loop cascade
-    # (loop_closure.cpp:242-257), each stage result is accepted only if it
-    # improves the fine fitness — a diverging coarse stage cannot destroy a
-    # good odometry initial guess.
-    best_t, best_fit = t_init, fit_of(t_init)
-    t_est = t_init
-    for res in cfg.ndt_resolutions:
-        m = ndt_map.create(cfg.map_capacity)
-        # one-shot load of a dense submap: claim contention is at its worst,
-        # so spend the full probe window on claim rounds (mirrors
-        # block_map.build's stance; ndt_map.insert defaults to 3 which is
-        # tuned for incremental per-scan inserts)
-        m = ndt_map.insert(m, tgt.points, tgt.mask, 1.0 / res, min_points=3,
-                           estimate_all=True, claim_rounds=8)
-        gn = GNConfig(max_iters=cfg.refine_iterations, rotation_eps=1e-3,
-                      position_eps=1e-3, update=UPDATE_NDT, use_stall_check=False)
-        r = run_gn(
-            lambda t: ndt_hg(t, src.points, src.mask, m, 1.0 / res, 30.0), t_est, gn
-        )
-        t_est = r.t_mat
-        f = fit_of(t_est)
-        if f < best_fit:
-            best_t, best_fit = t_est, f
-
-    # fine refine: point-to-plane (GICP stand-in), from the best pose so far
-    gn = GNConfig(max_iters=cfg.refine_iterations, rotation_eps=1e-4,
-                  position_eps=1e-4, update=UPDATE_LOAM, use_stall_check=True)
-    r = run_gn(
-        lambda t: point_to_plane_hg(t, src.points, src.mask, mp, nn_inv, 0.3,
-                                    cfg.fitness_max_range**2),
-        best_t, gn,
-    )
-    f = fit_of(r.t_mat)
-    if f < best_fit:
-        best_t, best_fit = r.t_mat, f
-
-    t_est = best_t
-    fit = best_fit
+    fit = float(best_fit)
     if not np.isfinite(fit) or fit >= cfg.fitness_threshold:
         return None
 
-    t_corrected = np.asarray(t_est)
+    t_corrected = np.asarray(best_t)
     delta = np.linalg.inv(poses[candidate_id]) @ t_corrected
     return LoopResult(
         current_id=current_id, candidate_id=candidate_id,

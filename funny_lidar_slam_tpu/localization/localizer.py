@@ -87,6 +87,14 @@ class Localizer:
         )
         self.mstate = self.matcher.create_state()
         self.fstate: FrontendState | None = None
+        # aot-cached top-level programs: a fresh process otherwise pays
+        # minutes of cold compiles for the map swap and the init match
+        # (utils/aot_cache.py rationale)
+        from ..utils.aot_cache import aot_jit
+
+        self._set_map_prog = aot_jit(
+            lambda s, c: self.matcher.set_map(s, c))
+        self._init_prog = aot_jit(self._init_match_impl)
         self._last_scan_end: float | None = None
         self._last_retired_p: np.ndarray | None = None  # host pose for map refresh
         self.trajectory_t: list[float] = []
@@ -158,7 +166,7 @@ class Localizer:
                 return False
             self._map_center = position.copy()
             local = self._crop_local(position)
-        self.mstate = self.matcher.set_map(self.mstate, self._pad_map(local))
+        self.mstate = self._set_map_prog(self.mstate, self._pad_map(local))
         return True
 
     # -- IMU feed --------------------------------------------------------
@@ -166,6 +174,23 @@ class Localizer:
         self.imu.push(t, gyro, accel, quat)
         if self.imu.init.done:
             self.cfg.frontend.gravity = tuple(self.imu.gravity)
+
+    def _init_match_impl(self, mstate, init_pose, pts, rts, mask, ref_time,
+                         seg):
+        """Deskew + match + fitness of the init scan as ONE traced program
+        (the eager formulation cold-compiled a swarm of sub-programs on
+        every fresh process)."""
+        from ..lidar.deskew import deskew
+
+        dpts, dmsk = deskew(pts, rts, mask, ref_time, seg,
+                            self.frontend.t_l2i)
+        cloud = Cloud(dpts, dmsk)
+        ring = self.frontend._default_ring(pts)
+        _, res, _ = self.frontend._matcher_match(
+            mstate, cloud, init_pose, ring, rts)
+        fit = self.matcher.fitness(mstate, cloud, res.t_mat,
+                                   self.cfg.init_fitness_range)
+        return res.t_mat, res.converged, fit
 
     # -- init ------------------------------------------------------------
     def try_init(self, init_pose: np.ndarray, t_start: float, scan_end: float,
@@ -181,24 +206,14 @@ class Localizer:
         self.refresh_local_map(np.asarray(init_pose)[:3, 3], force=True)
 
         pts, rts, mask = pad_scan(points, rel_times, self.cfg.scan_capacity)
-        from ..lidar.deskew import deskew
-
-        dpts, dmsk = deskew(
-            pts, rts - (scan_end - t_start), mask,
-            jnp.asarray(scan_end, jnp.float32), to_device_segment(seg),
-            self.frontend.t_l2i,
-        )
-        cloud = Cloud(dpts, dmsk)
-        ring = self.frontend._default_ring(pts)
-        _, res, _ = self.frontend._matcher_match(
-            self.mstate, cloud, jnp.asarray(init_pose, jnp.float32), ring,
-            rts - (scan_end - t_start),
-        )
-        fit = float(self.matcher.fitness(self.mstate, cloud, res.t_mat,
-                                         self.cfg.init_fitness_range))
-        if not (bool(res.converged) and fit < self.cfg.init_fitness):
+        t_mat, converged, fit = self._init_prog(
+            self.mstate, jnp.asarray(init_pose, jnp.float32), pts,
+            rts - (scan_end - t_start), mask,
+            jnp.asarray(scan_end, jnp.float32), to_device_segment(seg))
+        fit = float(fit)
+        if not (bool(converged) and fit < self.cfg.init_fitness):
             return False
-        pose = np.asarray(res.t_mat)
+        pose = np.asarray(t_mat)
         self.fstate = self.frontend.init_from_pose(pose, scan_end)
         self._last_scan_end = scan_end
         self._last_retired_p = pose[:3, 3].copy()

@@ -57,6 +57,8 @@ def aot_jit(fun, static_argnames: tuple = ()):
     lock = threading.Lock()
 
     def _aval_key(args, kwargs):
+        # PyTreeDef is hashable: use it directly (str(treedef) on the big
+        # matcher-state pytree costs ~ms per call and halved the live fps)
         dyn_leaves, treedef = jax.tree.flatten((args, {
             k: v for k, v in kwargs.items() if k not in static_argnames}))
         shapes = tuple(
@@ -65,7 +67,7 @@ def aot_jit(fun, static_argnames: tuple = ()):
         )
         statics = tuple(sorted(
             (k, repr(v)) for k, v in kwargs.items() if k in static_argnames))
-        return (str(treedef), shapes, statics)
+        return (treedef, shapes, statics)
 
     def _load_or_compile(args, kwargs):
         lowered = jfun.lower(*args, **kwargs)

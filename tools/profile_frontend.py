@@ -116,18 +116,20 @@ def main():
         jax.jit(lambda: voxel_downsample(pts, mask, mcfg.source_filter_size, mcfg.source_capacity)),
         label="voxel_downsample_src")
 
-    m = mstate.m
-    q = jax.jit(lambda: voxel_hash.query_knn(
+    from funny_lidar_slam_tpu.registration.residuals import query_knn_any
+
+    m = mstate.m  # BlockMap at HEAD (round-4 NN redesign)
+    q = jax.jit(lambda: query_knn_any(
         m, src.points, 1.0 / mcfg.nn_voxel_size, k=1, stencil=mcfg.stencil,
         num_probes=mcfg.num_probes))
     timings["query_knn_k1_direct"] = timeit(q, label="query_knn_k1_direct")
 
-    qg = jax.jit(lambda: voxel_hash.query_knn(
+    qg = jax.jit(lambda: query_knn_any(
         m, src.points, 1.0 / mcfg.nn_voxel_size, k=1, stencil=mcfg.stencil,
         num_probes=mcfg.num_probes, group_capacity=mcfg.group_capacity or None))
     timings["query_knn_k1_grouped"] = timeit(qg, label="query_knn_k1_grouped")
 
-    q5 = jax.jit(lambda: voxel_hash.query_knn(
+    q5 = jax.jit(lambda: query_knn_any(
         m, src.points, 1.0 / mcfg.nn_voxel_size, k=5, stencil="nearby18",
         num_probes=mcfg.num_probes))
     timings["query_knn_k5_direct"] = timeit(q5, label="query_knn_k5_direct")
@@ -186,6 +188,33 @@ def main():
         pad_scan(scan.points, scan.rel_times, cap)
         slam.imu.get_segment(scan.t, scan_end, 32)
     timings["host_prep"] = (time.perf_counter() - t0h) / 50
+
+    # the LIVE path: packed single-transfer step (what run_dataset runs)
+    buf = fe.pack_frame(scan.points, scan.rel_times - period, cap, scan_end,
+                        slam.imu.get_segment(scan.t, scan_end, 32),
+                        slam.imu.get_segment(scan.t - period, scan_end, 32))
+    timings["step_packed_device"] = timeit(
+        lambda: fe.step_packed(mstate, fstate, buf, cap, 32),
+        label="step_packed_device")
+    t0h = time.perf_counter()
+    for _ in range(50):
+        fe.pack_frame(scan.points, scan.rel_times - period, cap, scan_end,
+                      slam.imu.get_segment(scan.t, scan_end, 32),
+                      slam.imu.get_segment(scan.t - period, scan_end, 32))
+    timings["host_pack_frame"] = (time.perf_counter() - t0h) / 50
+    # one cold d2h fetch of a [36] record (the retire transfer constant)
+    _, _, out_s = fe.step_packed(mstate, fstate, buf, cap, 32)
+    t0h = time.perf_counter()
+    for _ in range(20):
+        _, _, out_s = fe.step_packed(mstate, fstate, buf, cap, 32)
+        np.asarray(out_s.packed)
+    timings["step_plus_retire_fetch"] = (time.perf_counter() - t0h) / 20
+    # live-loop estimate from the warmup run's retire timestamps
+    trs = [s["tr"] for s in slam.stats if "tr" in s and not s.get("init")]
+    if len(trs) > 12:
+        half = np.diff(trs[len(trs) // 2:])
+        kept = half[half < 5.0]
+        timings["live_frame_wall"] = kept.sum() / max(len(kept), 1)
 
     if args.trace:
         with jax.profiler.trace(args.trace):
