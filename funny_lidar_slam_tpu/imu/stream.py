@@ -212,3 +212,31 @@ class ImuStream:
         q_arr[:n] = rows_q
         mask[:n] = True
         return ImuSegment(t=t_arr, gyro=g_arr, accel=a_arr, quat=q_arr, mask=mask)
+
+
+class DataSynchronizer:
+    """Consuming segment extraction (reference DataSynchronizer,
+    src/imu/data_synchronizer.cpp): like IMUDataSearcher::GetDataSegment
+    but POPS the processed span so the buffer never regrows — each sample
+    is handed out once. The reference's main path never uses it (SURVEY.md
+    §2.3); it exists for feed pipelines that own their stream exclusively
+    and must bound memory without the searcher's ring buffer.
+
+    Keeps the last sample at/before the consumed right boundary so the
+    NEXT segment's left-boundary interpolation still has its bracketing
+    pair (data_synchronizer.cpp keeps the boundary sample too)."""
+
+    def __init__(self, stream: ImuStream):
+        self.stream = stream
+
+    def get_segment(self, t0: float, t1: float, capacity: int) -> ImuSegment | None:
+        seg = self.stream.get_segment(t0, t1, capacity)
+        if seg is None:
+            return None
+        s = self.stream
+        ts = np.asarray(s.t)
+        # drop everything strictly before the bracketing sample of t1
+        j = int(np.searchsorted(ts, t1, side="right")) - 1
+        j = max(j, 0)
+        del s.t[:j], s.gyro[:j], s.accel[:j], s.quat[:j]
+        return seg
