@@ -455,7 +455,11 @@ class SlamSystem:
         # so the wait amortizes to ~1/B of a step per frame. The host-side
         # keyframe policy lags <= B scans, like the reference's queued
         # threads (system.h:163-187).
-        depth = 8
+        # depth 12: the first retire of a batch absorbs the ~25-50 ms queue
+        # drain, the rest are free, so the per-frame share is ~1/depth of a
+        # transfer; the keyframe policy lags <= depth scans (1.2 s), well
+        # inside the loop-closure cadence
+        depth = 12
         pending: list = []
         for k, scan in enumerate(scans):
             scan_end = scan.t + scan_period

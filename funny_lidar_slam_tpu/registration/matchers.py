@@ -124,8 +124,13 @@ def window_add(
         cap = cloud_world.points.shape[0]
         ds = voxel_downsample(cloud_world.points, cloud_world.mask,
                               map_filter_size, cap)
+        # claim_rounds=2: incremental scans add few NEW blocks (frontier
+        # only) so claim contention is negligible; each round is ~1.7 ms of
+        # full-table scatter+gather (a contended block just lands on the
+        # next insert)
         m = block_map.insert(s.m, ds.points, ds.mask, nn_inv_voxel,
-                              num_probes=num_probes, max_age=window_size)
+                              num_probes=num_probes, max_age=window_size,
+                              claim_rounds=2)
         return s._replace(m=m, last_added=t_mat,
                           filled=jnp.minimum(s.filled + 1, window_size))
     w = s.window_pts.shape[0]
@@ -420,12 +425,15 @@ class PointToPlaneMatcher:
 
             return P2PlaneWindowState(jax.lax.cond(do_add, add, lambda x: x, s.w)), res
 
-        # ivox: insert every scan with the center policy
+        # ivox: insert every scan with the center policy (claim_rounds=2:
+        # see window_add — per-scan frontier contention is negligible and
+        # this matcher pays the insert EVERY frame)
         def add(st):
             world = transform_cloud(res.t_mat, planar)
             m2 = block_map.insert(
                 st.m, world.points, world.mask, self.inv,
-                num_probes=c.num_probes, max_age=c.ivox_max_age, center_policy=True,
+                num_probes=c.num_probes, max_age=c.ivox_max_age,
+                center_policy=True, claim_rounds=2,
             )
             return P2PlaneIvoxState(m2, res.t_mat)
 
