@@ -45,6 +45,9 @@ def _cache_dir() -> str:
         "FLS_AOT_CACHE_DIR", os.path.expanduser("~/.cache/fls_aot"))
 
 
+_GLOBAL_EXES: dict = {}  # sha -> loaded executable (process lifetime)
+
+
 def aot_jit(fun, static_argnames: tuple = ()):
     """jax.jit with a disk-backed executable cache.
 
@@ -75,6 +78,12 @@ def aot_jit(fun, static_argnames: tuple = ()):
         dev = jax.devices()[0]
         tag = f"{jax.__version__}|{dev.platform}|{getattr(dev, 'device_kind', '')}"
         sha = hashlib.sha256((tag + text).encode()).hexdigest()[:32]
+        # process-global reuse: a second pipeline instance in the same
+        # process (bench repeat runs, multi-mode sweeps) skips even the
+        # deserialization — sha-exact, so config differences can't collide
+        hit = _GLOBAL_EXES.get(sha)
+        if hit is not None:
+            return hit
         path = os.path.join(_cache_dir(), f"{sha}.jaxexe")
         if os.path.exists(path):
             from jax.experimental.serialize_executable import (
@@ -82,7 +91,9 @@ def aot_jit(fun, static_argnames: tuple = ()):
 
             with open(path, "rb") as fh:
                 payload, in_tree, out_tree = pickle.load(fh)
-            return deserialize_and_load(payload, in_tree, out_tree)
+            exe = deserialize_and_load(payload, in_tree, out_tree)
+            _GLOBAL_EXES[sha] = exe
+            return exe
         compiled = lowered.compile()
         try:
             from jax.experimental.serialize_executable import serialize
@@ -96,6 +107,7 @@ def aot_jit(fun, static_argnames: tuple = ()):
             os.replace(tmp, path)
         except Exception:
             pass  # serialization unsupported: still return the compiled exe
+        _GLOBAL_EXES[sha] = compiled
         return compiled
 
     def wrapper(*args, **kwargs):
