@@ -136,14 +136,23 @@ class Localizer:
     def _pad_map(self, pts: np.ndarray) -> Cloud:
         cap = self.cfg.local_map_capacity
         if len(pts) > cap:
-            # keep a uniform subsample rather than silently dropping the tail
-            sel = np.random.default_rng(0).choice(len(pts), cap, replace=False)
-            pts = pts[sel]
+            # progressively coarsen the voxel filter until the crop fits —
+            # uniform thinning everywhere (round-4 advisor: a random
+            # subsample was lossy exactly in the far-field regions
+            # localization needs most; the tile path avoids this entirely
+            # by loading fewer tiles)
+            from ..native import voxel_downsample as host_voxel
+
             import warnings
 
+            size = self.cfg.map_filter_size * 1.5
+            while len(pts) > cap:
+                pts = host_voxel(pts.astype(np.float32), size)
+                size *= 1.5
             warnings.warn(
-                f"local map ({len(sel)} kept) exceeds local_map_capacity={cap}; "
-                "raise the capacity or the map filter size", stacklevel=2)
+                f"local map exceeded local_map_capacity={cap}; re-filtered "
+                f"to {len(pts)} points at voxel {size / 1.5:.2f} — raise the "
+                "capacity or use tile maps", stacklevel=2)
         n = len(pts)
         buf = np.zeros((cap, 3), np.float32)
         msk = np.zeros(cap, bool)
