@@ -375,6 +375,16 @@ def gather_cover(
     return rows.reshape(uniq_coords.shape[0], -1)
 
 
+def gather_cover_any(m, uniq_coords: jax.Array, num_probes: int = 8):
+    """Cover gather dispatched by map type: hashed BlockMap (probe +
+    data rows) or dense GridMap (modulo slots, data rows only)."""
+    if isinstance(m, BlockMap):
+        return gather_cover(m, uniq_coords, num_probes)
+    from . import grid_map
+
+    return grid_map.gather_cover(m, uniq_coords)
+
+
 def _planes_from_window(wnd: jax.Array, plane: int):
     """[N, 8*3*plane] cover windows -> (x, y, z) planes [N, 8*plane]."""
     row_w = 3 * plane
@@ -441,7 +451,7 @@ def query_knn_planes(
         g.group_coords, mode="drop"
     )
 
-    wnd = gather_cover(m, uniq, num_probes)  # [gcap, 8*row]
+    wnd = gather_cover_any(m, uniq, num_probes)  # [gcap, 8*row]
 
     gid = jnp.minimum(g.group_id, gcap - 1)
     in_range = g.group_id < gcap

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from ..core.cloud import Cloud, transform_cloud
 from ..core.lie import rotation_to_rpy
-from ..maps import block_map, ndt_map
+from ..maps import block_map, grid_map, ndt_map
 from ..ops.voxel import voxel_downsample
 from .gn import (
     GNConfig, GNResult, UPDATE_ICP, UPDATE_LOAM, UPDATE_NDT, run_gn,
@@ -83,13 +83,20 @@ class WindowMapState(NamedTuple):
 
 
 def window_create(window_size, cloud_cap, map_capacity, bucket,
-                  dtype=jnp.float32, incremental=False):
+                  dtype=jnp.float32, incremental=False, grid_dims=None):
     # the incremental policy never re-reads the inserted clouds, so the ring
     # buffers collapse to 1-element placeholders (saves W*cap*16 bytes of HBM
     # and the per-insert ring scatter)
     w, cap = (1, 1) if incremental else (window_size, cloud_cap)
+    if grid_dims is not None:
+        # experimental dense modulo grid (probe-free gathers, claim-free
+        # inserts — maps/grid_map.py); incremental policy only
+        assert incremental, "map_layout='grid' requires incremental_map"
+        m = grid_map.create(tuple(grid_dims), bucket, dtype)
+    else:
+        m = block_map.create(map_capacity, bucket, dtype)
     return WindowMapState(
-        m=block_map.create(map_capacity, bucket, dtype),
+        m=m,
         window_pts=jnp.zeros((w, cap, 3), dtype),
         window_mask=jnp.zeros((w, cap), bool),
         head=jnp.zeros((), jnp.int32),
@@ -124,13 +131,18 @@ def window_add(
         cap = cloud_world.points.shape[0]
         ds = voxel_downsample(cloud_world.points, cloud_world.mask,
                               map_filter_size, cap)
-        # claim_rounds=2: incremental scans add few NEW blocks (frontier
-        # only) so claim contention is negligible; each round is ~1.7 ms of
-        # full-table scatter+gather (a contended block just lands on the
-        # next insert)
-        m = block_map.insert(s.m, ds.points, ds.mask, nn_inv_voxel,
-                              num_probes=num_probes, max_age=window_size,
-                              claim_rounds=2)
+        if isinstance(s.m, grid_map.GridMap):
+            # dense grid: deterministic slots — no probes, no claim rounds
+            m = grid_map.insert(s.m, ds.points, ds.mask, nn_inv_voxel,
+                                max_age=window_size)
+        else:
+            # claim_rounds=2: incremental scans add few NEW blocks (frontier
+            # only) so claim contention is negligible; each round is ~1.7 ms
+            # of full-table scatter+gather (a contended block just lands on
+            # the next insert)
+            m = block_map.insert(s.m, ds.points, ds.mask, nn_inv_voxel,
+                                 num_probes=num_probes, max_age=window_size,
+                                 claim_rounds=2)
         return s._replace(m=m, last_added=t_mat,
                           filled=jnp.minimum(s.filled + 1, window_size))
     w = s.window_pts.shape[0]
@@ -201,6 +213,13 @@ class IcpConfig(NamedTuple):
     # of three. 0 disables.
     regather_skip_dist: float = 0.2
     regather_radius: float = 20.0
+    # experimental dense modulo-grid layout (maps/grid_map.py): probe-free
+    # gathers + claim-free inserts; requires incremental_map. grid_dims are
+    # BLOCKS (2x2x2 voxels) per axis — size the extent (dims * 2 *
+    # nn_voxel_size) above the local-map diameter so modulo aliasing only
+    # hits far-away slots (self-filtered by the correspondence gates).
+    map_layout: str = "block"  # "block" | "grid"
+    grid_dims: tuple = (96, 96, 24)
 
 
 class IcpMatcher:
@@ -224,7 +243,9 @@ class IcpMatcher:
         c = self.cfg
         return window_create(c.local_map_size, c.cloud_capacity, c.map_capacity,
                              c.bucket_size, self.dtype,
-                             incremental=c.incremental_map)
+                             incremental=c.incremental_map,
+                             grid_dims=(c.grid_dims if c.map_layout == "grid"
+                                        else None))
 
     def _source(self, cloud: Cloud) -> Cloud:
         c = self.cfg
@@ -292,10 +313,16 @@ class IcpMatcher:
         Localization::LoadLocalMap -> AddCloudToLocalMap with
         is_localization_mode, loam_point_to_plane_kdtree.h:56-80)."""
         c = self.cfg
-        m = block_map.build(
-            c.map_capacity, c.bucket_size, map_cloud.points, map_cloud.mask,
-            1.0 / c.nn_voxel_size, num_probes=c.num_probes,
-        )
+        if c.map_layout == "grid":
+            m = grid_map.build(
+                tuple(c.grid_dims), c.bucket_size, map_cloud.points,
+                map_cloud.mask, 1.0 / c.nn_voxel_size, self.dtype)
+        else:
+            m = block_map.build(
+                c.map_capacity, c.bucket_size, map_cloud.points,
+                map_cloud.mask, 1.0 / c.nn_voxel_size,
+                num_probes=c.num_probes,
+            )
         return s._replace(m=m)
 
 

@@ -145,7 +145,9 @@ def gather_candidates(
     fused Pallas spread+distance+select kernel. Results stay in sorted
     order. Legacy voxel-hash maps use the per-voxel stencil gather."""
     p_t = transform_points(t_mat, src)
-    if isinstance(m, block_map.BlockMap):
+    if not isinstance(m, voxel_hash.VoxelHashMap):
+        # block-structured maps (hashed BlockMap or dense GridMap): shared
+        # fused-select path, cover gather dispatched by type
         n = src.shape[0]
         tq = pallas_select.TQ
         gcap = group_capacity or n
@@ -155,7 +157,7 @@ def gather_candidates(
             (g.rank == 0) & (g.group_id < gcap), g.group_id, gcap)
         uniq = jnp.zeros((gcap, 3), jnp.int32).at[rep_tgt].set(
             g.group_coords, mode="drop")
-        wnd = block_map.gather_cover(m, uniq, num_probes)
+        wnd = block_map.gather_cover_any(m, uniq, num_probes)
         gid = jnp.minimum(g.group_id, gcap - 1)
         sel = (pallas_select.fused_select if _use_pallas_select(n, gcap)
                else pallas_select.fused_select_xla)
@@ -184,8 +186,9 @@ def gather_candidates(
 
 def query_knn_any(m, queries, inv_voxel_size, k, stencil, num_probes,
                   group_capacity=None):
-    """Type-dispatched stencil k-NN (block map or legacy voxel hash)."""
-    mod = block_map if isinstance(m, block_map.BlockMap) else voxel_hash
+    """Type-dispatched stencil k-NN (block/grid map or legacy voxel hash);
+    block_map.query_knn serves GridMap too via gather_cover_any."""
+    mod = voxel_hash if isinstance(m, voxel_hash.VoxelHashMap) else block_map
     return mod.query_knn(m, queries, inv_voxel_size, k=k, stencil=stencil,
                          num_probes=num_probes, group_capacity=group_capacity)
 
