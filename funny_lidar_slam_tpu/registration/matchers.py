@@ -362,6 +362,17 @@ class PointToPlaneConfig(NamedTuple):
     incremental_map: bool = True  # window mode: see window_add docstring
     regather_skip_dist: float = 0.1  # trust-region skip (see IcpConfig);
     regather_radius: float = 20.0  # tighter at 0.5 m ivox voxels
+    # experimental dense modulo grid (see IcpConfig.map_layout); ivox mode
+    # only. dims are BLOCKS (2x2x2 voxels); at the 0.5 m ivox voxel,
+    # extent = dims * 1.0 m per axis. MEASURED CAVEAT (round 5): at the
+    # 0.5 m voxel a full-coverage grid needs ~1.2M slots (~0.9 GB rows)
+    # and the per-insert whole-table updates cost more than the claim
+    # rounds they replace — A/B scored 19 vs 24-30 fps against the hashed
+    # map (accuracy slightly better, 0.0401 vs 0.042). Use the grid here
+    # only when the extent fits a few hundred MB; the 1 m-voxel ICP grid
+    # is where the layout wins (see IcpConfig).
+    map_layout: str = "block"  # "block" | "grid"
+    grid_dims: tuple = (192, 192, 32)
 
 
 class P2PlaneWindowState(NamedTuple):
@@ -404,10 +415,11 @@ class PointToPlaneMatcher:
                               c.bucket_size, self.dtype,
                               incremental=c.incremental_map)
             )
-        return P2PlaneIvoxState(
-            m=block_map.create(c.map_capacity, c.bucket_size, self.dtype),
-            last_added=jnp.eye(4, dtype=self.dtype),
-        )
+        if c.map_layout == "grid":
+            m = grid_map.create(tuple(c.grid_dims), c.bucket_size, self.dtype)
+        else:
+            m = block_map.create(c.map_capacity, c.bucket_size, self.dtype)
+        return P2PlaneIvoxState(m=m, last_added=jnp.eye(4, dtype=self.dtype))
 
     def _map(self, s):
         return s.w.m if isinstance(s, P2PlaneWindowState) else s.m
@@ -457,11 +469,17 @@ class PointToPlaneMatcher:
         # this matcher pays the insert EVERY frame)
         def add(st):
             world = transform_cloud(res.t_mat, planar)
-            m2 = block_map.insert(
-                st.m, world.points, world.mask, self.inv,
-                num_probes=c.num_probes, max_age=c.ivox_max_age,
-                center_policy=True, claim_rounds=2,
-            )
+            if isinstance(st.m, grid_map.GridMap):
+                m2 = grid_map.insert(
+                    st.m, world.points, world.mask, self.inv,
+                    max_age=c.ivox_max_age, center_policy=True,
+                )
+            else:
+                m2 = block_map.insert(
+                    st.m, world.points, world.mask, self.inv,
+                    num_probes=c.num_probes, max_age=c.ivox_max_age,
+                    center_policy=True, claim_rounds=2,
+                )
             return P2PlaneIvoxState(m2, res.t_mat)
 
         s = jax.lax.cond(ok, add, lambda x: x, s)
@@ -477,10 +495,15 @@ class PointToPlaneMatcher:
                            c.merged_capacity, c.num_probes,
                            window_size=c.local_map_size if c.incremental_map else 0)
             )
-        m2 = block_map.insert(
-            s.m, world.points, world.mask, self.inv,
-            num_probes=c.num_probes, max_age=c.ivox_max_age, center_policy=True,
-        )
+        if isinstance(s.m, grid_map.GridMap):
+            m2 = grid_map.insert(s.m, world.points, world.mask, self.inv,
+                                 max_age=c.ivox_max_age, center_policy=True)
+        else:
+            m2 = block_map.insert(
+                s.m, world.points, world.mask, self.inv,
+                num_probes=c.num_probes, max_age=c.ivox_max_age,
+                center_policy=True,
+            )
         return P2PlaneIvoxState(m2, t_mat)
 
     def fitness(self, s, planar: Cloud, t_mat, max_range=1.0):
@@ -499,11 +522,17 @@ class PointToPlaneMatcher:
                 self.inv, num_probes=c.num_probes,
             )
             return P2PlaneWindowState(s.w._replace(m=m))
-        fresh = block_map.create(c.map_capacity, c.bucket_size, self.dtype)
-        m = block_map.insert(
-            fresh, map_cloud.points, map_cloud.mask, self.inv,
-            num_probes=c.num_probes, max_age=0, center_policy=True,
-        )
+        if c.map_layout == "grid":
+            fresh = grid_map.create(tuple(c.grid_dims), c.bucket_size,
+                                    self.dtype)
+            m = grid_map.insert(fresh, map_cloud.points, map_cloud.mask,
+                                self.inv, center_policy=True)
+        else:
+            fresh = block_map.create(c.map_capacity, c.bucket_size, self.dtype)
+            m = block_map.insert(
+                fresh, map_cloud.points, map_cloud.mask, self.inv,
+                num_probes=c.num_probes, max_age=0, center_policy=True,
+            )
         return P2PlaneIvoxState(m, s.last_added)
 
 

@@ -133,3 +133,43 @@ def test_icp_matcher_grid_layout():
     d = np.asarray(se3_log(se3_inv(res.t_mat) @ jnp.asarray(t_true)))
     assert bool(res.converged)
     assert np.linalg.norm(d[:3]) < 0.05 and np.linalg.norm(d[3:]) < 0.01
+
+
+def test_p2plane_ivox_grid_layout():
+    """PointToPlane_IVOX with map_layout='grid': recovers the transform on
+    the plane scene like the block-map ivox matcher."""
+    from funny_lidar_slam_tpu.core.cloud import Cloud
+    from funny_lidar_slam_tpu.core.lie import se3_exp, se3_inv, se3_log
+    from funny_lidar_slam_tpu.registration import matchers
+
+    g = np.arange(0.1, 8.0, 0.25, dtype=np.float32)
+    xx, yy = np.meshgrid(g, g)
+    pts = np.concatenate([
+        np.stack([xx.ravel(), yy.ravel(), np.zeros(xx.size)], 1),
+        np.stack([xx.ravel(), np.zeros(xx.size), yy.ravel()], 1),
+        np.stack([np.zeros(xx.size), xx.ravel(), yy.ravel()], 1),
+    ]).astype(np.float32) + np.asarray([3.0, 4.0, 5.0], np.float32)
+
+    cfg = matchers.PointToPlaneConfig(
+        mode="ivox", source_capacity=4096, map_capacity=16384, bucket_size=8,
+        ivox_voxel_size=0.5, stencil="nearby18",
+        map_layout="grid", grid_dims=(32, 32, 32),  # 32 m extent at 0.5 m
+    )
+    m = matchers.PointToPlaneMatcher(cfg)
+    t_true = np.asarray(se3_exp(jnp.asarray(
+        [0.08, -0.05, 0.04, 0.01, 0.02, -0.015], jnp.float32)))
+    src_pts = (pts - t_true[:3, 3]) @ t_true[:3, :3]
+
+    def as_cloud(p, cap=4096):
+        buf = np.zeros((cap, 3), np.float32)
+        msk = np.zeros(cap, bool)
+        buf[: len(p)] = p[:cap]
+        msk[: min(len(p), cap)] = True
+        return Cloud(jnp.asarray(buf), jnp.asarray(msk))
+
+    s = m.create_state()
+    s = m.add_first(s, as_cloud(pts), jnp.eye(4))
+    s, res = m.match(s, as_cloud(src_pts), jnp.eye(4))
+    d = np.asarray(se3_log(se3_inv(res.t_mat) @ jnp.asarray(t_true)))
+    assert bool(res.converged)
+    assert np.linalg.norm(d[:3]) < 0.02 and np.linalg.norm(d[3:]) < 0.005
